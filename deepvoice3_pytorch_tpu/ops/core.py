@@ -1,0 +1,222 @@
+# coding: utf-8
+"""Core weight-normalized ops, TPU-first.
+
+Functional equivalents of the reference's weight-normalized layer factories
+(reference: deepvoice3_pytorch/modules.py:80-109). Parameters are plain pytrees
+(dicts of jnp arrays) and every layer is a pure `init(rng, ...) -> params` /
+`apply(params, x, ...) -> y` pair, so the whole model jits, shards and
+differentiates as one XLA program.
+
+Layout conventions (TPU-friendly, channels-last so C maps to the 128-wide lane
+dimension):
+  * activations:        (B, T, C)
+  * Linear v:           (in, out)                  g: (out,)   b: (out,)
+  * Conv1d v:           (kw, in, out)              g: (out,)   b: (out,)
+  * ConvTranspose1d v:  (kw, in, out)              g: (in,)    b: (out,)
+
+Weight norm follows torch.nn.utils.weight_norm(dim=0) semantics on the torch
+layouts: Linear (out,in) -> per-out-row norm; Conv1d (out,in,kw) -> per-out
+norm over (in,kw); ConvTranspose1d (in,out,kw) -> per-IN norm over (out,kw).
+The axes above are the transposed equivalents for our layouts.
+"""
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# ---------------------------------------------------------------------------
+# weight-norm helpers
+# ---------------------------------------------------------------------------
+
+_EPS = 0.0  # torch weight_norm has no epsilon; keep exact
+
+
+def _wn_weight(v, g, axes):
+    """w = g * v / ||v||  with the norm taken over `axes` (broadcast on the rest)."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=axes, keepdims=True))
+    gshape = [1] * v.ndim
+    for i, s in enumerate(v.shape):
+        if i not in axes:
+            gshape[i] = s
+    return v * (g.reshape(gshape) / norm)
+
+
+def linear_weight(p):
+    """Effective (in, out) weight of a weight-normalized linear layer."""
+    return _wn_weight(p["v"], p["g"], axes=(0,))
+
+
+def conv1d_weight(p):
+    """Effective (kw, in, out) weight of a weight-normalized conv layer."""
+    return _wn_weight(p["v"], p["g"], axes=(0, 1))
+
+
+def conv_transpose1d_weight(p):
+    """Effective (kw, in, out) weight; norm per input channel (torch dim=0
+    on the (in, out, kw) torch layout)."""
+    return _wn_weight(p["v"], p["g"], axes=(0, 2))
+
+
+# ---------------------------------------------------------------------------
+# initializers (match reference init distributions: modules.py:80-109)
+# ---------------------------------------------------------------------------
+
+
+def linear_init(rng, in_features, out_features, dropout=0.0, dtype=jnp.float32):
+    """Weight-normalized Linear (reference modules.py:80-85)."""
+    std = math.sqrt((1.0 - dropout) / in_features)
+    v = std * jax.random.normal(rng, (in_features, out_features), dtype=jnp.float32)
+    g = jnp.sqrt(jnp.sum(jnp.square(v), axis=0))
+    return {
+        "v": v.astype(dtype),
+        "g": g.astype(dtype),
+        "b": jnp.zeros((out_features,), dtype),
+    }
+
+
+def linear_apply(p, x, *, precision=None):
+    w = linear_weight(p)
+    return jnp.dot(x, w, precision=precision, preferred_element_type=x.dtype) + p["b"]
+
+
+def embedding_init(rng, num_embeddings, embedding_dim, padding_idx=None, std=0.01,
+                   dtype=jnp.float32):
+    """Embedding (reference modules.py:88-91)."""
+    w = std * jax.random.normal(rng, (num_embeddings, embedding_dim), dtype=jnp.float32)
+    if padding_idx is not None:
+        w = w.at[padding_idx].set(0.0)
+    return {"w": w.astype(dtype)}
+
+
+def embedding_apply(p, ids):
+    return jnp.take(p["w"], ids, axis=0)
+
+
+def conv1d_init(rng, in_channels, out_channels, kernel_size, dropout=0.0,
+                std_mul=4.0, dtype=jnp.float32):
+    """Weight-normalized Conv1d with fan-in scaled init (modules.py:94-100)."""
+    std = math.sqrt((std_mul * (1.0 - dropout)) / (kernel_size * in_channels))
+    v = std * jax.random.normal(
+        rng, (kernel_size, in_channels, out_channels), dtype=jnp.float32)
+    g = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1)))
+    return {
+        "v": v.astype(dtype),
+        "g": g.astype(dtype),
+        "b": jnp.zeros((out_channels,), dtype),
+    }
+
+
+def conv_transpose1d_init(rng, in_channels, out_channels, kernel_size, dropout=0.0,
+                          std_mul=1.0, dtype=jnp.float32):
+    """Weight-normalized ConvTranspose1d (modules.py:103-109)."""
+    std = math.sqrt((std_mul * (1.0 - dropout)) / (kernel_size * in_channels))
+    v = std * jax.random.normal(
+        rng, (kernel_size, in_channels, out_channels), dtype=jnp.float32)
+    # torch weight_norm dim=0 on (in, out, kw): norm per input channel
+    g = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 2)))
+    return {
+        "v": v.astype(dtype),
+        "g": g.astype(dtype),
+        "b": jnp.zeros((out_channels,), dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# conv applications
+# ---------------------------------------------------------------------------
+
+_DN = ("NWC", "WIO", "NWC")  # batch-time-channel activations, (kw,in,out) kernels
+
+
+def conv1d_apply(p, x, *, dilation=1, padding="same", causal=False,
+                 precision=None):
+    """1D convolution on (B, T, C) input, output length == input length.
+
+    padding semantics mirror the reference (modules.py:112-167):
+      * causal: left-pad (kw-1)*dilation (reference pads both sides then trims
+        the tail, which is equivalent)
+      * non-causal: symmetric (kw-1)//2*dilation on each side (odd kernels)
+    """
+    w = conv1d_weight(p)
+    kw = w.shape[0]
+    if kw == 1:
+        # 1x1 conv is a matmul: keep it on the MXU without im2col
+        return jnp.dot(x, w[0], precision=precision,
+                       preferred_element_type=x.dtype) + p["b"]
+    if causal:
+        pad = ((kw - 1) * dilation, 0)
+    elif padding == "same":
+        pad = ((kw - 1) // 2 * dilation,) * 2
+    else:
+        pad = padding
+    out = lax.conv_general_dilated(
+        x, w,
+        window_strides=(1,),
+        padding=(pad,),
+        rhs_dilation=(dilation,),
+        dimension_numbers=_DN,
+        precision=precision,
+    )
+    return out + p["b"]
+
+
+def conv_transpose1d_apply(p, x, *, stride=2, precision=None):
+    """Transposed conv on (B, T, C) -> (B, T*stride, C_out).
+
+    The reference only uses kernel_size==stride (2, 2) upsampling
+    (deepvoice3.py:519,527; nyanko.py:372,377), for which the transposed conv
+    is exactly a per-step matmul followed by an interleave — a single MXU
+    matmul here instead of a scatter.
+    """
+    w = conv_transpose1d_weight(p)  # (kw, in, out)
+    kw, cin, cout = w.shape
+    if kw == stride:
+        B, T, _ = x.shape
+        # y[b, t*stride + j, o] = sum_i x[b,t,i] * w[j,i,o] + b[o]
+        w2 = w.transpose(1, 0, 2).reshape(cin, kw * cout)
+        y = jnp.dot(x, w2, precision=precision, preferred_element_type=x.dtype)
+        y = y.reshape(B, T * kw, cout)
+        return y + p["b"]
+    out = lax.conv_transpose(
+        x, w, strides=(stride,), padding="VALID",
+        dimension_numbers=_DN, precision=precision)
+    return out + p["b"]
+
+
+# ---------------------------------------------------------------------------
+# misc functional pieces
+# ---------------------------------------------------------------------------
+
+
+def dropout(rng, x, rate, *, training):
+    """Inverted dropout matching F.dropout train-time semantics."""
+    if not training or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, p=keep, shape=x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def glu(x, axis=-1):
+    """Gated linear unit: split in half, a * sigmoid(b) (torch.nn.functional.glu)."""
+    a, b = jnp.split(x, 2, axis=axis)
+    return a * jax.nn.sigmoid(b)
+
+
+def softsign(x):
+    return x / (1.0 + jnp.abs(x))
+
+
+def sequence_mask(lengths, max_len):
+    """(B,) lengths -> (B, max_len) float mask (reference train.py:261-271)."""
+    pos = jnp.arange(max_len)[None, :]
+    return (pos < lengths[:, None]).astype(jnp.float32)
+
+
+def get_mask_from_lengths(lengths, max_len):
+    """True where PADDED (reference modules.py:232-241)."""
+    pos = jnp.arange(max_len)[None, :]
+    return pos >= lengths[:, None]
