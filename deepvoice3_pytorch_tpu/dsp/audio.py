@@ -1,0 +1,145 @@
+# coding: utf-8
+"""Host-facing audio API mirroring the reference audio.py surface
+(load_wav / save_wav / preemphasis / spectrogram / melspectrogram /
+inv_spectrogram / _normalize / _denormalize — reference audio.py:12-93).
+
+The compute path is the on-device stft.py pipeline (jitted, batched); this
+module handles file I/O, resampling, and numpy <-> device glue. Unlike the
+reference there is no global hparams singleton dependency at import time —
+functions take an hparams-like object (anything with the audio attributes).
+"""
+
+import numpy as np
+from scipy import signal as sp_signal
+from scipy.io import wavfile
+
+import jax
+import jax.numpy as jnp
+
+from . import stft as dsp
+
+
+class AudioProcessor:
+    """Stateful wrapper caching jitted pipelines + constants per config."""
+
+    def __init__(self, hp):
+        self.sample_rate = hp.sample_rate
+        self.fft_size = hp.fft_size
+        self.hop_size = hp.hop_size
+        self.num_mels = hp.num_mels
+        self.fmin = hp.fmin
+        self.fmax = hp.fmax
+        self.preemphasis_coef = hp.preemphasis
+        self.min_level_db = hp.min_level_db
+        self.ref_level_db = hp.ref_level_db
+        self.power = getattr(hp, "power", 1.4)
+        self.gl_iters = getattr(hp, "griffin_lim_iters", 60)
+        self.rescaling = getattr(hp, "rescaling", False)
+        self.rescaling_max = getattr(hp, "rescaling_max", 0.999)
+        self.allow_clipping = getattr(hp, "allow_clipping_in_normalization",
+                                      True)
+
+        self.window = jnp.asarray(dsp.sqrt_hann_window(self.fft_size))
+        self.mel_filters = jnp.asarray(dsp.mel_basis(
+            self.sample_rate, self.fft_size, self.num_mels, self.fmin,
+            self.fmax))
+
+        fft, hop, win = self.fft_size, self.hop_size, self.window
+        mel_w = self.mel_filters
+        mld, rld = float(self.min_level_db), float(self.ref_level_db)
+        pre = float(self.preemphasis_coef)
+
+        @jax.jit
+        def _features(y):
+            """waveform (..., T) -> (linear (..., F, n), mel (..., M, n))
+            both normalized to [0, 1], frames on the last axis transposed
+            to match the reference layout at the caller."""
+            e = dsp.preemphasis(y, pre)
+            D = jnp.abs(dsp.stft(e, fft, hop, win))          # (..., n, F)
+            linear = dsp.normalize(dsp.amp_to_db(D, mld) - rld, mld)
+            mel_amp = jnp.einsum("mf,...nf->...nm", mel_w, D)
+            mel = dsp.normalize(dsp.amp_to_db(mel_amp, mld) - rld, mld)
+            return linear, mel
+
+        @jax.jit
+        def _inv_spectrogram(spec, power):
+            """normalized linear (..., n, F) -> waveform (..., T)."""
+            S = dsp.db_to_amp(dsp.denormalize(spec, mld) + rld)
+            wav = dsp.griffin_lim(S ** power, fft, hop, win,
+                                  n_iters=self.gl_iters)
+            return dsp.inv_preemphasis(wav, pre)
+
+        self._features = _features
+        self._inv = _inv_spectrogram
+
+    # -- file I/O (host) ----------------------------------------------------
+
+    def load_wav(self, path):
+        sr, wav = wavfile.read(path)
+        if wav.dtype == np.int16:
+            wav = wav.astype(np.float32) / 32768.0
+        elif wav.dtype == np.int32:
+            wav = wav.astype(np.float32) / 2147483648.0
+        elif wav.dtype == np.uint8:
+            wav = (wav.astype(np.float32) - 128.0) / 128.0
+        else:
+            wav = wav.astype(np.float32)
+        if wav.ndim > 1:
+            wav = wav.mean(axis=1)
+        if sr != self.sample_rate:
+            g = np.gcd(int(self.sample_rate), int(sr))
+            wav = sp_signal.resample_poly(wav, self.sample_rate // g, sr // g)
+        return wav.astype(np.float32)
+
+    def save_wav(self, wav, path):
+        wav = np.asarray(wav)
+        wav = wav * 32767 / max(0.01, np.max(np.abs(wav)))
+        wavfile.write(path, self.sample_rate, wav.astype(np.int16))
+
+    # -- feature extraction (reference audio.py:31-51) ----------------------
+
+    def spectrogram(self, y):
+        linear, _ = self._features(jnp.asarray(y))
+        return np.asarray(linear).T  # (F, n) like the reference
+
+    def melspectrogram(self, y):
+        _, mel = self._features(jnp.asarray(y))
+        if not self.allow_clipping:
+            m = np.asarray(mel)
+            assert m.max() <= 1.0 and m.min() >= 0.0
+        return np.asarray(mel).T  # (M, n)
+
+    def both_spectrograms(self, y):
+        linear, mel = self._features(jnp.asarray(y))
+        return np.asarray(linear), np.asarray(mel)  # (n, F), (n, M)
+
+    # -- inversion (reference audio.py:37-43) -------------------------------
+
+    def inv_spectrogram(self, spectrogram):
+        """spectrogram: (F, n) normalized linear -> waveform, like the
+        reference; batched (B, n, F) via inv_spectrogram_batch."""
+        spec = jnp.asarray(spectrogram).T
+        return np.asarray(self._inv(spec, self.power))
+
+    def inv_spectrogram_batch(self, spec_bnf):
+        return np.asarray(self._inv(jnp.asarray(spec_bnf), self.power))
+
+    def inv_spectrogram_device(self, spec_bnf):
+        """Stay on device (for fully fused synthesis pipelines)."""
+        return self._inv(spec_bnf, self.power)
+
+    # -- scalar helpers ------------------------------------------------------
+
+    def _normalize(self, S):
+        return np.asarray(dsp.normalize(jnp.asarray(S), self.min_level_db))
+
+    def _denormalize(self, S):
+        return np.asarray(dsp.denormalize(jnp.asarray(S), self.min_level_db))
+
+    def preemphasis(self, x):
+        return np.asarray(dsp.preemphasis(jnp.asarray(x),
+                                          self.preemphasis_coef))
+
+    def inv_preemphasis(self, x):
+        return np.asarray(dsp.inv_preemphasis(jnp.asarray(x),
+                                              self.preemphasis_coef))

@@ -20,8 +20,55 @@ def import_reference():
         vm = types.ModuleType("deepvoice3_pytorch.version")
         vm.__version__ = "0.0-reference"
         sys.modules["deepvoice3_pytorch.version"] = vm
+    _stub_optional_deps()
     import deepvoice3_pytorch  # noqa: F401
     return sys.modules["deepvoice3_pytorch"]
+
+
+def _stub_optional_deps():
+    """The reference's text pipeline imports unidecode/inflect, absent here.
+    Register thin stubs backed by our own implementations so the reference
+    frontend can be imported for comparison tests."""
+    if "unidecode" not in sys.modules:
+        try:
+            import unidecode  # noqa: F401
+        except ImportError:
+            from deepvoice3_pytorch_tpu.frontend.text.cleaners import \
+                _unidecode
+            m = types.ModuleType("unidecode")
+            m.unidecode = _unidecode
+            sys.modules["unidecode"] = m
+    if "inflect" not in sys.modules:
+        try:
+            import inflect  # noqa: F401
+        except ImportError:
+            from deepvoice3_pytorch_tpu.frontend.text import numbers as nums
+
+            class _Engine:
+                def number_to_words(self, n, andword="and", zero="zero",
+                                    group=0, **kw):
+                    if isinstance(n, str) and n[-2:] in ("st", "nd", "rd",
+                                                         "th"):
+                        return nums.ordinal_to_words(int(n[:-2]))
+                    if group == 2:
+                        # reference does .replace(', ', ' ') right after, so
+                        # returning the space-joined form is equivalent
+                        return nums.number_to_words_grouped2(n, zero=zero)
+                    return nums.number_to_words(n)
+
+            m = types.ModuleType("inflect")
+            m.engine = lambda: _Engine()
+            sys.modules["inflect"] = m
+    # reference frontend/en calls nltk.corpus.cmudict.dict() at import time;
+    # without the corpus data downloaded that raises LookupError — stub it
+    try:
+        import nltk.corpus
+        try:
+            nltk.corpus.cmudict.ensure_loaded()
+        except Exception:
+            nltk.corpus.cmudict = types.SimpleNamespace(dict=lambda: {})
+    except ImportError:
+        pass
 
 
 def torch_linear_params(m):
