@@ -1,0 +1,91 @@
+# coding: utf-8
+"""Device mesh + sharding layer — first-class in this framework even though
+the reference is strictly single-device (SURVEY §2.x: no DP/TP/PP anywhere).
+
+Design: a ('data', 'model') mesh.
+  * 'data'  — batch axis. The loader shards each batch across it; with
+    replicated params, jit emits a psum gradient all-reduce over ICI.
+  * 'model' — tensor-parallel axis. Wide conv stacks (encoder/converter)
+    shard their out-channel dimension; XLA GSPMD inserts the halo/all-reduce
+    collectives. model=1 (pure DP) is the default and is what the batch-16
+    reference workload wants; the axis exists so the same program scales to
+    tp>1 without code changes.
+
+Everything is mesh-axis-generic: axes come from the same Mesh object, so a
+multi-slice DCN mesh only changes make_mesh()'s device array.
+"""
+
+from typing import Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1, devices=None):
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None or n_data <= 0:
+        n_data = len(devices) // n_model
+    use = n_data * n_model
+    dev_array = np.asarray(devices[:use]).reshape(n_data, n_model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh):
+    """Shard the leading (batch) axis over 'data', replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh, batch):
+    """Place a pytree of host arrays with leading batch dims on the mesh."""
+    s = batch_sharding(mesh)
+
+    def put(x):
+        if x is None:
+            return None
+        return jax.device_put(x, s)
+
+    return jax.tree.map(put, batch)
+
+
+# ---------------------------------------------------------------------------
+# tensor-parallel param shardings
+# ---------------------------------------------------------------------------
+
+
+def param_shardings(params, mesh, *, tp: bool = False):
+    """PartitionSpec pytree for the params.
+
+    With tp=False everything is replicated. With tp=True, conv/linear kernels
+    shard their output-channel axis over 'model' where it is large enough to
+    tile (>= 2 * mesh model size * 128 would be ideal; we use a simple >= 2 *
+    model-size rule since XLA pads internally).
+    """
+    n_model = mesh.shape[MODEL_AXIS]
+
+    def spec_for(path, x):
+        if not tp or n_model <= 1 or x.ndim == 0:
+            return P()
+        leaf = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if leaf == "v" and x.ndim == 3 and x.shape[-1] % n_model == 0:
+            return P(None, None, MODEL_AXIS)     # conv (kw, in, out)
+        if leaf == "v" and x.ndim == 2 and x.shape[-1] % n_model == 0:
+            return P(None, MODEL_AXIS)           # linear (in, out)
+        # g/b stay replicated: cheap, and convT's g indexes the *input*
+        # channel (torch weight_norm dim=0 on (in, out, kw)), not out
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: NamedSharding(mesh, spec_for(p, x)), params)
+
+
+def shard_params(params, mesh, *, tp: bool = False):
+    shardings = param_shardings(params, mesh, tp=tp)
+    return jax.tree.map(jax.device_put, params, shardings)

@@ -1,0 +1,178 @@
+# coding: utf-8
+"""Checkpointing (reference train.py:788-897): whole-model or
+seq2seq/postnet halves, exact resume, shape-tolerant partial restore for
+speaker adaptation, embedding-only load.
+
+Format: a single msgpack file (flax.serialization) holding
+{params, opt_state, global_step, global_epoch}. Torch `.pth` checkpoints from
+the reference import via utils/torch_import.py.
+"""
+
+import os
+import pickle
+from os.path import join
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+try:
+    from flax import serialization as flax_ser
+except ImportError:  # pragma: no cover
+    flax_ser = None
+
+
+def _to_host(tree):
+    return jax.tree.map(np.asarray, tree)
+
+
+def _save_blob(blob, path):
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        if flax_ser is not None:
+            f.write(flax_ser.msgpack_serialize(blob))
+        else:
+            pickle.dump(blob, f)
+    os.replace(tmp, path)
+
+
+def _load_blob(path):
+    with open(path, "rb") as f:
+        data = f.read()
+    if flax_ser is not None:
+        try:
+            return flax_ser.msgpack_restore(data)
+        except Exception:
+            pass
+    return pickle.loads(data)
+
+
+def checkpoint_path(checkpoint_dir, step, suffix=""):
+    return join(checkpoint_dir,
+                "checkpoint_step{:09d}{}.ckpt".format(step, suffix))
+
+
+def save_checkpoint(checkpoint_dir, params, opt_state, step, epoch, *,
+                    train_seq2seq=True, train_postnet=True,
+                    save_optimizer_state=True):
+    """Whole / _seq2seq / _postnet suffixed saves (reference
+    train.py:788-809)."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    params = _to_host(params)
+    if train_seq2seq and train_postnet:
+        suffix, payload = "", params
+    elif train_seq2seq:
+        suffix = "_seq2seq"
+        payload = {k: params[k] for k in params if k != "converter"}
+    else:
+        suffix = "_postnet"
+        payload = {"converter": params["converter"]}
+    blob = {
+        "params": payload,
+        "opt_state": (_to_host(flatten_opt_state(opt_state))
+                      if save_optimizer_state and opt_state is not None
+                      else None),
+        "global_step": int(step),
+        "global_epoch": int(epoch),
+    }
+    path = checkpoint_path(checkpoint_dir, int(step), suffix)
+    _save_blob(blob, path)
+    return path
+
+
+def flatten_opt_state(opt_state):
+    """optax states are nested namedtuples; store as leaf list + treedef
+    is overkill — keep the raw leaves and rebuild against a template."""
+    return jax.tree.leaves(opt_state)
+
+
+def unflatten_opt_state(template, leaves):
+    treedef = jax.tree.structure(template)
+    leaves = [jnp.asarray(l) for l in leaves]
+    return jax.tree.unflatten(treedef, leaves)
+
+
+def load_checkpoint(path, params_template, opt_state_template=None, *,
+                    reset_optimizer=False):
+    """Exact resume (reference train.py:852-867). Returns
+    (params, opt_state_or_None, step, epoch)."""
+    blob = _load_blob(path)
+    params = _merge_exact(params_template, blob["params"])
+    opt_state = None
+    if not reset_optimizer and blob.get("opt_state") is not None \
+            and opt_state_template is not None:
+        opt_state = unflatten_opt_state(opt_state_template,
+                                        blob["opt_state"])
+    return params, opt_state, blob["global_step"], blob["global_epoch"]
+
+
+def _merge_exact(template, saved):
+    """Structure-checked merge: every leaf in template must exist in saved
+    with the same shape (partial payloads merge into the template)."""
+    if isinstance(template, dict):
+        out = {}
+        for k, v in template.items():
+            if saved is not None and k in saved:
+                out[k] = _merge_exact(v, saved[k])
+            else:
+                out[k] = v
+        return out
+    if isinstance(template, (list, tuple)):
+        saved_list = saved if saved is not None else [None] * len(template)
+        if isinstance(saved_list, dict):  # msgpack may turn lists into dicts
+            saved_list = [saved_list.get(str(i)) for i in
+                          range(len(template))]
+        merged = [_merge_exact(t, s) for t, s in zip(template, saved_list)]
+        return type(template)(merged)
+    if saved is None:
+        return template
+    arr = jnp.asarray(saved)
+    if hasattr(template, "shape") and template.shape != arr.shape:
+        raise ValueError("shape mismatch: %s vs %s"
+                         % (template.shape, arr.shape))
+    return arr.astype(template.dtype) if hasattr(template, "dtype") else arr
+
+
+def restore_parts(path, params_template):
+    """Shape-tolerant partial restore (reference train.py:878-897): leaves
+    whose path exists AND shape matches are taken from the checkpoint,
+    everything else keeps the template value. Used for speaker adaptation."""
+    blob = _load_blob(path)
+
+    def merge(t, s):
+        if isinstance(t, dict):
+            return {k: merge(v, s.get(k) if isinstance(s, dict) else None)
+                    for k, v in t.items()}
+        if isinstance(t, (list, tuple)):
+            if isinstance(s, dict):
+                s = [s.get(str(i)) for i in range(len(t))]
+            if not isinstance(s, (list, tuple)) or len(s) != len(t):
+                return t
+            return type(t)([merge(a, b) for a, b in zip(t, s)])
+        if s is None:
+            return t
+        arr = jnp.asarray(s)
+        if hasattr(t, "shape") and t.shape != arr.shape:
+            return t  # skip invalid sizes, like the reference warns+skips
+        return arr
+
+    return merge(params_template, blob["params"])
+
+
+def load_embedding(path, params):
+    """Reuse a trained text embedding (reference train.py:870-873)."""
+    blob = _load_blob(path)
+    emb = blob["params"]["encoder"]["embed_tokens"]
+    params = dict(params)
+    params["encoder"] = dict(params["encoder"])
+    params["encoder"]["embed_tokens"] = jax.tree.map(jnp.asarray, emb)
+    return params
+
+
+def latest_checkpoint(checkpoint_dir, suffix=""):
+    import glob
+    paths = sorted(glob.glob(join(checkpoint_dir,
+                                  "checkpoint_step*%s.ckpt" % suffix)))
+    paths = [p for p in paths
+             if suffix or ("_seq2seq" not in p and "_postnet" not in p)]
+    return paths[-1] if paths else None
