@@ -69,7 +69,20 @@ class AudioProcessor:
                                   n_iters=self.gl_iters)
             return dsp.inv_preemphasis(wav, pre)
 
+        @jax.jit
+        def _features_padded(y_padded):
+            """Batched features over host-prepadded signals: caller applied
+            preemphasis + per-utterance reflect padding (fft//2 each side),
+            then zero-padded to a common length. Frames beyond each
+            utterance's true count are garbage and must be sliced off."""
+            D = jnp.abs(dsp.stft(y_padded, fft, hop, win, center=False))
+            linear = dsp.normalize(dsp.amp_to_db(D, mld) - rld, mld)
+            mel_amp = jnp.einsum("mf,...nf->...nm", mel_w, D)
+            mel = dsp.normalize(dsp.amp_to_db(mel_amp, mld) - rld, mld)
+            return linear, mel
+
         self._features = _features
+        self._features_padded = _features_padded
         self._inv = _inv_spectrogram
 
     # -- file I/O (host) ----------------------------------------------------
@@ -112,6 +125,32 @@ class AudioProcessor:
     def both_spectrograms(self, y):
         linear, mel = self._features(jnp.asarray(y))
         return np.asarray(linear), np.asarray(mel)  # (n, F), (n, M)
+
+    def batch_features(self, wavs, bucket_samples=16384):
+        """TPU-batched feature extraction over a list of ragged waveforms.
+
+        Replaces the reference's per-utterance ProcessPoolExecutor + lws C++
+        path (ljspeech.py:25-36): host does preemphasis + reflect padding,
+        device runs one fused STFT/mel/normalize program per length bucket.
+        Returns [(linear (n_i, F), mel (n_i, M))], exact per utterance.
+        """
+        pad = self.fft_size // 2
+        prepped, n_frames = [], []
+        for w in wavs:
+            e = np.asarray(w, np.float32)
+            e = np.concatenate([e[:1], e[1:] - self.preemphasis_coef * e[:-1]])
+            prepped.append(np.pad(e, (pad, pad), mode="reflect"))
+            n_frames.append(1 + len(w) // self.hop_size)
+
+        max_len = max(len(p) for p in prepped)
+        max_len = ((max_len + bucket_samples - 1) // bucket_samples) \
+            * bucket_samples
+        batch = np.zeros((len(prepped), max_len), np.float32)
+        for i, p in enumerate(prepped):
+            batch[i, :len(p)] = p
+        linear, mel = self._features_padded(jnp.asarray(batch))
+        linear, mel = np.asarray(linear), np.asarray(mel)
+        return [(linear[i, :n], mel[i, :n]) for i, n in enumerate(n_frames)]
 
     # -- inversion (reference audio.py:37-43) -------------------------------
 

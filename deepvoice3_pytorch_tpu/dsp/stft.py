@@ -86,20 +86,32 @@ def mel_basis(sample_rate, fft_size, n_mels=80, fmin=125, fmax=7600,
 # ---------------------------------------------------------------------------
 
 
-def _frame(x, fft_size, hop):
-    """(..., T) -> (..., n_frames, fft_size), centered (reflect pad)."""
-    pad = fft_size // 2
-    x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+def _frame(x, fft_size, hop, center=True):
+    """(..., T) -> (..., n_frames, fft_size); center=True reflect-pads by
+    fft_size//2 on both sides (librosa-style)."""
+    if center:
+        pad = fft_size // 2
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)],
+                    mode="reflect")
     T = x.shape[-1]
     n_frames = 1 + (T - fft_size) // hop
     idx = (jnp.arange(n_frames)[:, None] * hop + jnp.arange(fft_size)[None, :])
     return x[..., idx]
 
 
-def stft(x, fft_size, hop, window):
-    """Batched STFT. x: (..., T) -> complex (..., n_frames, fft_size//2+1)."""
-    frames = _frame(x, fft_size, hop) * window
+def stft(x, fft_size, hop, window, center=True):
+    """Batched STFT. x: (..., T) -> complex (..., n_frames, fft_size//2+1).
+
+    center=False expects the caller to have padded the signal (used for
+    batched preprocessing where per-utterance reflect padding happens on host
+    so ragged batches stay exact)."""
+    frames = _frame(x, fft_size, hop, center=center) * window
     return jnp.fft.rfft(frames, n=fft_size, axis=-1)
+
+
+def num_frames(length, fft_size, hop):
+    """Frame count of a centered STFT over a length-`length` signal."""
+    return 1 + length // hop
 
 
 def istft(spec, fft_size, hop, window, length=None):

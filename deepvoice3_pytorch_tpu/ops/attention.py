@@ -42,8 +42,11 @@ def attention_init(rng, spec: AttentionSpec, dtype=jnp.float32):
     if spec.key_projection:
         kp = core.linear_init(r[1], spec.embed_dim, spec.embed_dim, dtype=dtype)
         if spec.conv_channels == spec.embed_dim:
-            # DeepVoice3 paper: init key proj == query proj (deepvoice3.py:116-119)
-            kp = {"v": params["query_proj"]["v"], "g": params["query_proj"]["g"],
+            # DeepVoice3 paper: init key proj == query proj
+            # (deepvoice3.py:116-119). Copy, don't alias: duplicate buffers
+            # in one pytree break donation in the jitted train step.
+            kp = {"v": jnp.array(params["query_proj"]["v"]),
+                  "g": jnp.array(params["query_proj"]["g"]),
                   "b": kp["b"]}
         params["key_proj"] = kp
     if spec.value_projection:

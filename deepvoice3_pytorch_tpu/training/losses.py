@@ -13,7 +13,11 @@ from ..ops.core import sequence_mask
 
 
 def logit(x, eps=1e-8):
-    return jnp.log(x + eps) - jnp.log(1.0 - x + eps)
+    """log((x+eps)/(1-x+eps)) (reference train.py:537-538), guarded against
+    XLA reassociating `1 - x + eps` into `(1+eps) - x` == 0 in f32 when x
+    saturates to exactly 1.0 (log(0) -> -inf -> 0*inf NaNs the loss)."""
+    return jnp.log(jnp.maximum(x + eps, eps)) - \
+        jnp.log(jnp.maximum(1.0 - x + eps, eps))
 
 
 def masked_l1_loss(y_hat, y, mask):

@@ -1,0 +1,138 @@
+# coding: utf-8
+"""End-to-end pipeline: synthetic corpus -> preprocess (batched on-device
+features) -> a few train steps -> checkpoint -> batched synthesis."""
+import os
+import sys
+import subprocess
+from os.path import join, dirname
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REPO = dirname(dirname(os.path.abspath(__file__)))
+
+
+def _make_fake_ljspeech(root, n=6, sr=22050):
+    """LJSpeech-layout corpus of sine-ish utterances."""
+    os.makedirs(join(root, "wavs"), exist_ok=True)
+    from scipy.io import wavfile
+    rs = np.random.RandomState(0)
+    lines = []
+    sentences = [
+        "this is a simple test sentence number %d." % i for i in range(n)]
+    for i, text in enumerate(sentences):
+        dur = 0.5 + 0.15 * i
+        t = np.arange(int(sr * dur)) / sr
+        f0 = 150 + 30 * i
+        x = (0.4 * np.sin(2 * np.pi * f0 * t) *
+             (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t)) +
+             0.01 * rs.randn(len(t))).astype(np.float32)
+        name = "LJ%03d" % i
+        wavfile.write(join(root, "wavs", name + ".wav"), sr,
+                      (x * 32767).astype(np.int16))
+        lines.append("%s|%s|%s" % (name, text, text))
+    with open(join(root, "metadata.csv"), "w", encoding="utf-8") as f:
+        f.write("\n".join(lines))
+    return root
+
+
+def test_preprocess_train_synthesize(tmp_path):
+    corpus = _make_fake_ljspeech(str(tmp_path / "corpus"))
+    out_dir = str(tmp_path / "features")
+
+    from deepvoice3_pytorch_tpu.hparams import default_hparams
+    hp = default_hparams()
+    hp.parse("min_text=5,outputs_per_step=4,downsample_step=1,"
+             "max_positions=1024,batch_size=2,num_mels=80")
+
+    # --- preprocess (library path, same as the CLI) ---
+    from deepvoice3_pytorch_tpu.dsp.audio import AudioProcessor
+    from deepvoice3_pytorch_tpu.datasets import get_preprocessor
+    ap = AudioProcessor(hp)
+    mod = get_preprocessor("ljspeech")
+    os.makedirs(out_dir, exist_ok=True)
+    metadata = mod.build_from_path(corpus, out_dir, ap, hp, num_workers=2)
+    assert len(metadata) == 6
+    with open(join(out_dir, "train.txt"), "w", encoding="utf-8") as f:
+        for m in metadata:
+            f.write("|".join(str(x) for x in m) + "\n")
+
+    spec0 = np.load(join(out_dir, metadata[0][0]))
+    mel0 = np.load(join(out_dir, metadata[0][1]))
+    assert spec0.shape[1] == 513 and mel0.shape[1] == 80
+    assert spec0.shape[0] == metadata[0][2] == mel0.shape[0]
+    assert 0.0 <= spec0.min() and spec0.max() <= 1.0
+
+    # --- train a few steps ---
+    from deepvoice3_pytorch_tpu import frontend as frontend_pkg
+    from deepvoice3_pytorch_tpu.model_builder import build_model
+    from deepvoice3_pytorch_tpu.training import (trainer, dataset,
+                                                 checkpoint as ckpt)
+    fe = frontend_pkg.get_frontend("en")
+    hp.parse("text_embed_dim=64,encoder_channels=32,decoder_channels=32,"
+             "converter_channels=32,max_decoder_steps=40")
+    cfg, params = build_model(hp, fe.n_vocab)
+
+    ds = dataset.TTSDataset(out_dir, fe, 0.0)
+    sampler = dataset.SimilarTimeLengthSampler(ds.meta.frame_lengths,
+                                               batch_size=2)
+    loader = dataset.DataLoader(ds, sampler, r=hp.outputs_per_step,
+                                downsample_step=hp.downsample_step,
+                                length_bucket_step=hp.length_bucket_step,
+                                frame_bucket_step=hp.frame_bucket_step,
+                                max_positions=hp.max_positions)
+
+    lc = trainer.loss_config_from_hparams(hp)
+    opt = trainer.make_optimizer(hp, trainer.make_lr_fn(hp))
+    mask = trainer.trainable_mask(params, cfg)
+    step_fn = trainer.make_train_step(cfg, lc, opt, mask)
+    state = trainer.init_train_state(params, opt)
+
+    rng = jax.random.PRNGKey(0)
+    n_steps = 0
+    for batch in loader:
+        rng, sub = jax.random.split(rng)
+        state, metrics = step_fn(state, jax.tree.map(jnp.asarray, batch),
+                                 sub)
+        assert np.isfinite(float(metrics["loss"]))
+        n_steps += 1
+    assert n_steps == 3
+
+    # --- checkpoint + synthesis ---
+    path = ckpt.save_checkpoint(str(tmp_path / "ckpt"), state.params,
+                                state.opt_state, n_steps, 1)
+    cfg2, params2 = build_model(hp, fe.n_vocab)
+    params2, _, step, _ = ckpt.load_checkpoint(path, params2,
+                                               reset_optimizer=True)
+    assert step == 3
+
+    from deepvoice3_pytorch_tpu.synthesis import tts_batch, tts
+    results = tts_batch(params2, cfg2, ap, fe,
+                        ["hello world.", "testing synthesis."],
+                        max_decoder_steps=12)
+    assert len(results) == 2
+    for res in results:
+        assert res["waveform"].ndim == 1 and len(res["waveform"]) > 0
+        assert res["mel"].shape[1] == 80
+        assert res["linear"].shape[1] == 513
+        assert np.isfinite(res["waveform"]).all()
+
+    wav, align, spec, mel = tts(params2, cfg2, ap, fe, "a single call.",
+                                max_decoder_steps=12)
+    assert wav.ndim == 1 and align.ndim == 2
+
+
+def test_cli_helpers_run(tmp_path):
+    """dump_hparams_to_json round-trips through the preset loader."""
+    out = str(tmp_path / "dumped.json")
+    r = subprocess.run(
+        [sys.executable, join(REPO, "dump_hparams_to_json.py"), out],
+        capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr
+    import json
+    d = json.load(open(out))
+    assert d["name"] == "deepvoice3"

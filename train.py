@@ -1,0 +1,288 @@
+#!/usr/bin/env python
+# coding: utf-8
+"""Training script (reference train.py CLI surface).
+
+usage: train.py [options]
+
+options:
+    --data-root=<dir>            Directory containing preprocessed features.
+    --checkpoint-dir=<dir>       Where to save checkpoints [default: checkpoints].
+    --hparams=<params>           Hyper parameters [default: ].
+    --preset=<json>              Path of preset parameters (json).
+    --checkpoint=<path>          Restore model from checkpoint path if given.
+    --checkpoint-seq2seq=<path>  Restore seq2seq model from checkpoint path.
+    --checkpoint-postnet=<path>  Restore postnet model from checkpoint path.
+    --train-seq2seq-only         Train only seq2seq model.
+    --train-postnet-only         Train only postnet model.
+    --restore-parts=<path>       Restore part of the model.
+    --log-event-path=<name>      Log event path.
+    --reset-optimizer            Reset optimizer.
+    --load-embedding=<path>      Load embedding from checkpoint.
+    --speaker-id=<N>             Use specific speaker of data.
+    -h, --help                   Show this help message and exit
+"""
+import argparse
+import os
+import time
+from datetime import datetime
+from os.path import join
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from deepvoice3_pytorch_tpu.hparams import hparams, hparams_debug_string
+from deepvoice3_pytorch_tpu import frontend as frontend_pkg
+from deepvoice3_pytorch_tpu.model_builder import build_model
+from deepvoice3_pytorch_tpu.dsp.audio import AudioProcessor
+from deepvoice3_pytorch_tpu.training import (trainer, dataset,
+                                             checkpoint as ckpt)
+from deepvoice3_pytorch_tpu.parallel import mesh as mesh_lib
+from deepvoice3_pytorch_tpu.synthesis import tts_batch
+
+
+def save_states(global_step, writer, outputs, batch, checkpoint_dir, ap):
+    """Alignment/spectrogram artifacts (reference train.py:439-534)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+    from matplotlib import cm
+
+    mel_outputs, linear_outputs, attn, done_hat = outputs
+    idx = min(1, len(batch["x"]) - 1)
+
+    def plot_alignment(alignment, path):
+        fig, ax = plt.subplots()
+        im = ax.imshow(alignment, aspect='auto', origin='lower',
+                       interpolation='none')
+        fig.colorbar(im, ax=ax)
+        plt.xlabel('Decoder timestep')
+        plt.ylabel('Encoder timestep')
+        plt.tight_layout()
+        plt.savefig(path, format='png')
+        plt.close()
+
+    attn = np.asarray(attn)
+    for i, alignment in enumerate(attn):
+        path = join(checkpoint_dir,
+                    "step%09d_layer_%d_alignment.png" % (global_step, i))
+        plot_alignment(alignment[idx], path)
+        if writer is not None:
+            tag = "alignment_layer{}".format(i + 1)
+            writer.add_image(
+                tag, np.uint8(cm.viridis(alignment[idx]) * 255),
+                global_step, dataformats="HWC")
+    path = join(checkpoint_dir, "step%09d_alignment.png" % global_step)
+    plot_alignment(attn.mean(0)[idx], path)
+
+    if linear_outputs is not None:
+        linear_output = np.asarray(linear_outputs[idx])
+        wav = ap.inv_spectrogram(linear_output.T)
+        path = join(checkpoint_dir, "step%09d_predicted.wav" % global_step)
+        ap.save_wav(wav, path)
+        if writer is not None:
+            try:
+                writer.add_audio("predicted_audio", wav[None, :],
+                                 global_step, sample_rate=ap.sample_rate)
+            except Exception:
+                pass
+
+
+def eval_model(global_step, writer, params, cfg, ap, _frontend,
+               checkpoint_dir, ismultispeaker, n_speakers):
+    """Synthesize fixed eval sentences (reference train.py:379-436)."""
+    texts = [
+        "Scientists at the CERN laboratory say they have discovered a new particle.",
+        "There's a way to measure the acute emotional intelligence that has never gone out of style.",
+        "President Trump met with other leaders at the Group of 20 conference.",
+        "Generative adversarial network or variational auto-encoder.",
+        "Please call Stella.",
+        "Some have accepted this as a miracle without any physical explanation.",
+    ]
+    eval_dir = join(checkpoint_dir, "eval")
+    os.makedirs(eval_dir, exist_ok=True)
+    speaker_ids = [None] if not ismultispeaker else [0, 1, n_speakers - 1]
+    for speaker_id in speaker_ids:
+        spk = None if speaker_id is None else [speaker_id] * len(texts)
+        try:
+            results = tts_batch(params, cfg, ap, _frontend, texts, p=0,
+                                speaker_ids=spk, max_decoder_steps=500)
+        except Exception as e:
+            print("eval_model failed:", e)
+            return
+        for i, res in enumerate(results):
+            tag = "eval_{}_{}".format(
+                i, speaker_id if speaker_id is not None else "single")
+            path = join(eval_dir,
+                        "step%09d_%s.wav" % (global_step, tag))
+            ap.save_wav(res["waveform"], path)
+            if writer is not None:
+                try:
+                    writer.add_audio(tag, res["waveform"][None, :],
+                                     global_step,
+                                     sample_rate=ap.sample_rate)
+                except Exception:
+                    pass
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--data-root", type=str, default=None)
+    parser.add_argument("--checkpoint-dir", type=str, default="checkpoints")
+    parser.add_argument("--hparams", type=str, default="")
+    parser.add_argument("--preset", type=str, default=None)
+    parser.add_argument("--checkpoint", type=str, default=None)
+    parser.add_argument("--checkpoint-seq2seq", type=str, default=None)
+    parser.add_argument("--checkpoint-postnet", type=str, default=None)
+    parser.add_argument("--train-seq2seq-only", action="store_true")
+    parser.add_argument("--train-postnet-only", action="store_true")
+    parser.add_argument("--restore-parts", type=str, default=None)
+    parser.add_argument("--log-event-path", type=str, default=None)
+    parser.add_argument("--reset-optimizer", action="store_true")
+    parser.add_argument("--load-embedding", type=str, default=None)
+    parser.add_argument("--speaker-id", type=int, default=None)
+    parser.add_argument("--max-steps", type=int, default=None,
+                        help="Stop after N steps (default: nepochs epochs)")
+    args = parser.parse_args()
+
+    if args.preset is not None:
+        with open(args.preset) as f:
+            hparams.parse_json(f.read())
+    hparams.parse(args.hparams)
+    assert hparams.name == "deepvoice3"
+    print(hparams_debug_string())
+
+    train_seq2seq = not args.train_postnet_only
+    train_postnet = not args.train_seq2seq_only
+    assert train_seq2seq or train_postnet
+
+    _frontend = frontend_pkg.get_frontend(hparams.frontend)
+    ap = AudioProcessor(hparams)
+
+    data_root = args.data_root or join(os.path.dirname(__file__), "data",
+                                       "ljspeech")
+    ds = dataset.TTSDataset(data_root, _frontend,
+                            hparams.replace_pronunciation_prob,
+                            speaker_id=args.speaker_id)
+    sampler = dataset.SimilarTimeLengthSampler(
+        ds.meta.frame_lengths, batch_size=hparams.batch_size)
+    loader = dataset.DataLoader(
+        ds, sampler, r=hparams.outputs_per_step,
+        downsample_step=hparams.downsample_step,
+        length_bucket_step=hparams.length_bucket_step,
+        frame_bucket_step=hparams.frame_bucket_step,
+        max_positions=hparams.max_positions)
+
+    cfg, params = build_model(hparams, _frontend.n_vocab)
+
+    lc = trainer.loss_config_from_hparams(hparams)._replace(
+        train_seq2seq=train_seq2seq, train_postnet=train_postnet)
+    lr_fn = trainer.make_lr_fn(hparams)
+    optimizer = trainer.make_optimizer(hparams, lr_fn)
+    mask = trainer.trainable_mask(params, cfg, train_seq2seq=train_seq2seq,
+                                  train_postnet=train_postnet)
+
+    global_step, global_epoch = 0, 0
+    opt_state = None
+    if args.checkpoint is not None:
+        params, opt_state, global_step, global_epoch = ckpt.load_checkpoint(
+            args.checkpoint, params, optimizer.init(params),
+            reset_optimizer=args.reset_optimizer)
+    if args.checkpoint_seq2seq is not None:
+        params = ckpt.restore_parts(args.checkpoint_seq2seq, params)
+    if args.checkpoint_postnet is not None:
+        params = ckpt.restore_parts(args.checkpoint_postnet, params)
+    if args.restore_parts is not None:
+        params = ckpt.restore_parts(args.restore_parts, params)
+    if args.load_embedding is not None:
+        params = ckpt.load_embedding(args.load_embedding, params)
+
+    # data-parallel mesh over all local devices
+    mesh = mesh_lib.make_mesh()
+    n_data = mesh.shape[mesh_lib.DATA_AXIS]
+    print("Mesh: %s (data=%d)" % (mesh.shape, n_data))
+    params = mesh_lib.shard_params(params, mesh)
+
+    step_fn = trainer.make_train_step(cfg, lc, optimizer, mask)
+    state = trainer.TrainState(
+        params, opt_state if opt_state is not None
+        else optimizer.init(params), jnp.int32(global_step))
+
+    writer = None
+    if args.log_event_path is not None or True:
+        try:
+            from tensorboardX import SummaryWriter
+            log_path = args.log_event_path or "log/run-test%s" % (
+                datetime.now().strftime("%Y%m%d%H%M%S"))
+            writer = SummaryWriter(log_path)
+            print("TensorBoard event log path: %s" % log_path)
+        except ImportError:
+            pass
+
+    rng = jax.random.PRNGKey(1234)
+    ckpt_interval = hparams.checkpoint_interval
+    eval_interval = hparams.eval_interval
+    os.makedirs(args.checkpoint_dir, exist_ok=True)
+
+    print("Starting training (%d utterances, batch %d)"
+          % (len(ds), hparams.batch_size))
+    try:
+        while global_epoch < hparams.nepochs:
+            running = []
+            t_epoch = time.time()
+            for batch in loader:
+                if len(batch["x"]) % n_data != 0:
+                    continue  # ragged tail batch cannot shard evenly
+                batch = mesh_lib.shard_batch(mesh, batch)
+                rng, step_rng = jax.random.split(rng)
+                state, metrics = step_fn(state, batch, step_rng)
+                global_step += 1
+
+                if global_step % 50 == 0 or global_step < 5:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    print("step %d | loss %.4f | %s"
+                          % (global_step, m["loss"],
+                             " ".join("%s %.4f" % (k, v)
+                                      for k, v in sorted(m.items())
+                                      if k != "loss")))
+                if writer is not None and global_step % 10 == 0:
+                    for k, v in metrics.items():
+                        writer.add_scalar(k, float(v), global_step)
+                    writer.add_scalar("learning rate",
+                                      float(lr_fn(global_step)),
+                                      global_step)
+                running.append(float(metrics["loss"]))
+
+                if global_step > 0 and global_step % ckpt_interval == 0:
+                    ckpt.save_checkpoint(
+                        args.checkpoint_dir, state.params, state.opt_state,
+                        global_step, global_epoch,
+                        train_seq2seq=train_seq2seq,
+                        train_postnet=train_postnet,
+                        save_optimizer_state=hparams.save_optimizer_state)
+                if global_step > 0 and global_step % eval_interval == 0:
+                    eval_model(global_step, writer, state.params, cfg, ap,
+                               _frontend, args.checkpoint_dir,
+                               cfg.n_speakers > 1, cfg.n_speakers)
+                if args.max_steps and global_step >= args.max_steps:
+                    raise KeyboardInterrupt
+            global_epoch += 1
+            print("epoch %d done in %.1fs | avg loss %.4f"
+                  % (global_epoch, time.time() - t_epoch,
+                     float(np.mean(running)) if running else float("nan")))
+            if writer is not None and running:
+                writer.add_scalar("loss (per epoch)",
+                                  float(np.mean(running)), global_epoch)
+    except KeyboardInterrupt:
+        print("Interrupted — saving checkpoint")
+    finally:
+        ckpt.save_checkpoint(
+            args.checkpoint_dir, state.params, state.opt_state, global_step,
+            global_epoch, train_seq2seq=train_seq2seq,
+            train_postnet=train_postnet,
+            save_optimizer_state=hparams.save_optimizer_state)
+        print("Saved final checkpoint at step %d" % global_step)
+
+
+if __name__ == "__main__":
+    main()
