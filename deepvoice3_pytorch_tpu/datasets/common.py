@@ -100,13 +100,29 @@ def load_and_trim(ap, hp, utt: Utterance):
     return wav.astype(np.float32)
 
 
+def _native_batch_features(ap, hp, wavs):
+    """Feature extraction on the C++ host DSP library (native/dv3_dsp.cc) —
+    the lws-equivalent path for hosts without an accelerator attached."""
+    from deepvoice3_pytorch_tpu import native
+
+    return native.features_batch(
+        wavs, ap.mel_filters_np, hp.fft_size, hp.hop_size,
+        hp.preemphasis, hp.min_level_db, hp.ref_level_db)
+
+
 def process_utterances(utts: List[Utterance], out_dir, ap, hp, prefix, *,
-                       num_workers=4, batch_size=16, tqdm=lambda x: x):
-    """Load (threads) -> batched device features -> save npys.
+                       num_workers=4, batch_size=16, tqdm=lambda x: x,
+                       backend=None):
+    """Load (threads) -> batched features -> save npys.
+
+    backend: 'device' (default; fused XLA STFT program per bucket), or
+    'native' (C++ thread-pool DSP — for CPU-only preprocessing hosts).
+    DV3_PREPROCESS_BACKEND env var overrides.
 
     Returns metadata tuples: 4-tuple (spec, mel, n_frames, text) or 5-tuple
     with speaker_id (reference contract, preprocess.py:28-30).
     """
+    backend = backend or os.environ.get("DV3_PREPROCESS_BACKEND", "device")
     os.makedirs(out_dir, exist_ok=True)
     metadata = [None] * len(utts)
 
@@ -119,7 +135,10 @@ def process_utterances(utts: List[Utterance], out_dir, ap, hp, prefix, *,
         with ThreadPoolExecutor(max_workers=num_workers) as ex:
             wavs = list(ex.map(lambda i: load_and_trim(ap, hp, utts[i]),
                                batch_ids))
-        feats = ap.batch_features(wavs)
+        if backend == "native":
+            feats = _native_batch_features(ap, hp, wavs)
+        else:
+            feats = ap.batch_features(wavs)
         for i, (linear, mel) in zip(batch_ids, feats):
             utt = utts[i]
             spec_name = utt.spec_name or "%s-spec-%05d.npy" % (prefix, i + 1)

@@ -39,13 +39,30 @@ class AudioProcessor:
         self.allow_clipping = getattr(hp, "allow_clipping_in_normalization",
                                       True)
 
-        self.window = jnp.asarray(dsp.sqrt_hann_window(self.fft_size))
-        self.mel_filters = jnp.asarray(dsp.mel_basis(
+        # host-side constants; device copies + jitted pipelines are built
+        # lazily so CPU-only users (native-DSP preprocessing) never touch
+        # the accelerator
+        self.window_np = dsp.sqrt_hann_window(self.fft_size)
+        self.mel_filters_np = dsp.mel_basis(
             self.sample_rate, self.fft_size, self.num_mels, self.fmin,
-            self.fmax))
+            self.fmax)
+        self._device = None
 
-        fft, hop, win = self.fft_size, self.hop_size, self.window
-        mel_w = self.mel_filters
+    @property
+    def window(self):
+        return self._device_fns()[0]
+
+    @property
+    def mel_filters(self):
+        return self._device_fns()[1]
+
+    def _device_fns(self):
+        if self._device is not None:
+            return self._device
+        window = jnp.asarray(self.window_np)
+        mel_w = jnp.asarray(self.mel_filters_np)
+
+        fft, hop, win = self.fft_size, self.hop_size, window
         mld, rld = float(self.min_level_db), float(self.ref_level_db)
         pre = float(self.preemphasis_coef)
 
@@ -81,9 +98,21 @@ class AudioProcessor:
             mel = dsp.normalize(dsp.amp_to_db(mel_amp, mld) - rld, mld)
             return linear, mel
 
-        self._features = _features
-        self._features_padded = _features_padded
-        self._inv = _inv_spectrogram
+        self._device = (window, mel_w, _features, _features_padded,
+                        _inv_spectrogram)
+        return self._device
+
+    @property
+    def _features(self):
+        return self._device_fns()[2]
+
+    @property
+    def _features_padded(self):
+        return self._device_fns()[3]
+
+    @property
+    def _inv(self):
+        return self._device_fns()[4]
 
     # -- file I/O (host) ----------------------------------------------------
 

@@ -203,12 +203,100 @@ def collate(items, r, downsample_step, *, length_bucket_step=1,
     return batch
 
 
+def collate_native(dataset, idxs, r, downsample_step, *,
+                   length_bucket_step=1, frame_bucket_step=1,
+                   max_positions=None, n_threads=0):
+    """Batch assembly on the native threaded loader (native/dv3_loader.cc):
+    mel/linear npy files are read and zero-padded into the batch buffers in
+    C++, with identical output to `collate` (verified in tests).
+
+    Returns None when the native library is unavailable or a file is not
+    natively parseable — caller falls back to the numpy path.
+    """
+    from deepvoice3_pytorch_tpu import native
+
+    if not native.is_available():
+        return None
+    meta = dataset.meta
+    texts = [np.asarray(
+        dataset.frontend.text_to_sequence(meta.texts[i], p=dataset.p),
+        np.int32) for i in idxs]
+    target_lengths = [meta.frame_lengths[i] for i in idxs]
+
+    max_input_len = _round_up(max(len(t) for t in texts), length_bucket_step)
+    max_target_len = _round_up(_round_up(max(target_lengths), r),
+                               downsample_step)
+    b_pad = r
+    max_target_len += b_pad * downsample_step
+    max_target_len = _round_up(max_target_len,
+                               frame_bucket_step * downsample_step * r)
+    if max_positions is not None:
+        dec_len = max_target_len // r // downsample_step
+        if max_input_len >= max_positions or dec_len >= max_positions:
+            raise RuntimeError(
+                "max_seq_len (%d) >= max_positions (%d); raise max_positions"
+                % (max(max_input_len, dec_len), max_positions))
+
+    mel_paths = [join(dataset.data_root, meta.mel_files[i]) for i in idxs]
+    lin_paths = [join(dataset.data_root, meta.spec_files[i]) for i in idxs]
+    probe = native.npy_shape(mel_paths[0])
+    probe_l = native.npy_shape(lin_paths[0])
+    if probe is None or probe_l is None:
+        return None
+    mel_dim, lin_dim = probe[1], probe_l[1]
+    offset = b_pad * downsample_step
+    mel, mrows = native.load_padded_batch(mel_paths, max_target_len, mel_dim,
+                                          row_offset=offset,
+                                          n_threads=n_threads)
+    y, lrows = native.load_padded_batch(lin_paths, max_target_len, lin_dim,
+                                        row_offset=offset,
+                                        n_threads=n_threads)
+    if (mrows < 0).any() or (lrows < 0).any():
+        return None
+
+    B = len(idxs)
+    x = np.zeros((B, max_input_len), np.int32)
+    text_positions = np.zeros((B, max_input_len), np.int32)
+    input_lengths = np.zeros((B,), np.int32)
+    for i, t in enumerate(texts):
+        x[i, :len(t)] = t
+        text_positions[i, :len(t)] = np.arange(1, len(t) + 1)
+        input_lengths[i] = len(t)
+
+    mel = np.ascontiguousarray(mel[:, ::downsample_step, :])
+    max_decoder_len = max_target_len // r // downsample_step
+    frame_positions = np.tile(np.arange(1, max_decoder_len + 1),
+                              (B, 1)).astype(np.int32)
+    done = np.ones((B, max_decoder_len, 1), np.float32)
+    for i, t in enumerate(target_lengths):
+        done[i, :t // r // downsample_step - 1] = 0.0
+
+    batch = {
+        "x": x,
+        "input_lengths": input_lengths,
+        "mel": mel,
+        "y": y,
+        "text_positions": text_positions,
+        "frame_positions": frame_positions,
+        "done": done,
+        "target_lengths": np.asarray(target_lengths, np.int32),
+    }
+    if dataset.multi_speaker:
+        batch["speaker_ids"] = np.asarray(
+            [meta.speaker_ids[i] for i in idxs], np.int32)
+    return batch
+
+
 class DataLoader:
-    """Background-thread prefetching batch iterator."""
+    """Background-thread prefetching batch iterator.
+
+    use_native=True (default) routes file reads + padded collate through the
+    C++ loader when available; falls back to the numpy path transparently.
+    """
 
     def __init__(self, dataset, sampler, r, downsample_step, *,
                  length_bucket_step=1, frame_bucket_step=1,
-                 max_positions=None, prefetch=2):
+                 max_positions=None, prefetch=2, use_native=True):
         self.dataset = dataset
         self.sampler = sampler
         self.r = r
@@ -217,8 +305,17 @@ class DataLoader:
         self.frame_bucket_step = frame_bucket_step
         self.max_positions = max_positions
         self.prefetch = prefetch
+        self.use_native = use_native
 
     def _make_batch(self, idxs):
+        if self.use_native and hasattr(self.dataset, "meta"):
+            batch = collate_native(
+                self.dataset, idxs, self.r, self.downsample_step,
+                length_bucket_step=self.length_bucket_step,
+                frame_bucket_step=self.frame_bucket_step,
+                max_positions=self.max_positions)
+            if batch is not None:
+                return batch
         items = [self.dataset[i] for i in idxs]
         return collate(items, self.r, self.downsample_step,
                        length_bucket_step=self.length_bucket_step,
