@@ -328,7 +328,7 @@ def model_forward(params, cfg: TTSModelConfig, text_sequences, mel_targets, *,
 def model_synthesize(params, cfg: TTSModelConfig, text_sequences,
                      text_positions, *, speaker_ids=None, input_lengths=None,
                      max_decoder_steps=None, early_exit=True,
-                     test_inputs=None):
+                     test_inputs=None, fused=False):
     """Greedy autoregressive synthesis; the full pipeline is one XLA program.
 
     Returns (mel_outputs, linear_outputs, alignments (B,T/r,T_k),
@@ -346,11 +346,14 @@ def model_synthesize(params, cfg: TTSModelConfig, text_sequences,
         params["encoder"], cfg.encoder, text_sequences,
         speaker_embed=speaker_embed)
 
+    decode_kwargs = {}
+    if fused and cfg.builder != "nyanko":
+        decode_kwargs["fused"] = True
     out = fam.decoder_decode(
         params["decoder"], cfg.decoder, encoder_out, text_positions,
         speaker_embed=speaker_embed, lengths=input_lengths,
         max_decoder_steps=max_decoder_steps, early_exit=early_exit,
-        test_inputs=test_inputs)
+        test_inputs=test_inputs, **decode_kwargs)
 
     mel_outputs = out.outputs.reshape(B, -1, cfg.mel_dim)
 

@@ -459,9 +459,11 @@ def make_decoder_step(params, cfg: DecoderConfig, projected_kv, w_query, *,
 def decoder_decode(params, cfg: DecoderConfig, encoder_out, text_positions, *,
                    speaker_embed=None, lengths=None, initial_input=None,
                    test_inputs=None, max_decoder_steps=None,
-                   early_exit=False):
+                   early_exit=False, fused=False):
     """Greedy autoregressive decoding (reference Decoder.incremental_forward,
-    deepvoice3.py:367-485), compiled as one scan/while program.
+    deepvoice3.py:367-485), compiled as one scan/while program — or, with
+    fused=True, as ONE Pallas kernel holding weights/KV/ring-buffers in VMEM
+    for the whole decode (ops/fused_decode.py).
 
     Unlike the reference, the memory (padding) mask is applied when `lengths`
     is given, making batched synthesis over ragged texts correct.
@@ -477,11 +479,26 @@ def decoder_decode(params, cfg: DecoderConfig, encoder_out, text_positions, *,
     projected_kv, w_query = decoder_precompute(
         params, cfg, encoder_out, text_positions=text_positions,
         speaker_embed=speaker_embed)
+    if initial_input is None:
+        initial_input = jnp.zeros((B, cfg.in_dim * cfg.r), keys.dtype)
+
+    if fused and test_inputs is None and speaker_embed is None:
+        from ..ops import fused_decode as fd
+
+        steps = jnp.arange(1, max_steps + 1, dtype=jnp.int32)[None, :]
+        fpe_table = sinusoidal_encoding(
+            steps, params["embed_query_positions"]["w"], w_query)[0]
+        outputs, aligns, done, dstates = fd.fused_decode(
+            params, cfg, projected_kv, fpe_table, mask, initial_input,
+            max_steps)
+        lengths_out = decode_lib._length_from_done(
+            done, cfg.min_decoder_steps, jnp.int32(max_steps))
+        return decode_lib.DecodeLoopOut(outputs, aligns, done, dstates,
+                                        lengths_out, jnp.int32(max_steps))
+
     step_fn = make_decoder_step(params, cfg, projected_kv, w_query,
                                 speaker_embed=speaker_embed, mask=mask)
     state = decoder_init_state(cfg, B, keys.dtype)
-    if initial_input is None:
-        initial_input = jnp.zeros((B, cfg.in_dim * cfg.r), keys.dtype)
 
     if early_exit and test_inputs is None:
         return decode_lib.decode_while(

@@ -1,0 +1,363 @@
+# coding: utf-8
+"""Fully-fused autoregressive decoder: the entire decode loop as ONE Pallas
+TPU kernel.
+
+This is the speed-of-light redesign of the reference's per-frame Python loop
+(reference deepvoice3.py:397-473, conv.py:17-46). The scan-based path
+(models/decode.py) already compiles the loop, but each step still issues a
+dozen separate XLA ops whose operands (weights, projected keys/values) are
+re-read from HBM every frame. At decode shapes (B~32, C~256) the arithmetic
+per step is tiny, so HBM traffic and per-op overhead dominate.
+
+Here the grid is (max_steps,) — sequential on TPU — and everything hot lives
+in VMEM for the whole decode:
+
+  * all decoder weights (weight-norm folded, a few MB)
+  * projected attention keys/values (B, Tk, E)
+  * conv ring buffers, the fed-back output frame, per-batch `last_attended`
+    monotonic-attention state — VMEM scratch persisting across grid steps
+
+Per step the kernel does the prenet/conv matmuls on the MXU, the windowed
+single-head attention as VPU broadcast-reductions (Tk is small — the
+reference caps text length at max_positions=512), and writes one frame of
+output per grid index. HBM traffic per step = outputs only.
+
+Semantics are identical to models/decode.decode_scan with
+models/deepvoice3.make_decoder_step (verified by tests/test_fused_decode.py);
+inference-only (no dropout), single-speaker (multi-speaker decode falls back
+to the scan path).
+"""
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import core
+
+SQRT_HALF = math.sqrt(0.5)
+MASK = -1.0e9
+
+
+# ---------------------------------------------------------------------------
+# static layer plan + weight folding
+# ---------------------------------------------------------------------------
+
+
+def _fold_conv(p):
+    """Weight-norm fold: (kw, in, out) effective weight + bias, reshaped for
+    the per-step taps matmul (kw*in, out)."""
+    w = core.conv1d_weight(p)
+    kw, cin, cout = w.shape
+    return w.reshape(kw * cin, cout), p["b"]
+
+
+def _fold_linear(p):
+    return core.linear_weight(p), p["b"]
+
+
+def build_plan(params, cfg):
+    """(static_plan, flat_weight_list) for a DecoderConfig + its params.
+
+    Plan ops (all static metadata):
+      ("linear", act)                  x @ w + b, optional activation
+      ("glu", kw, dil, residual, buf)  causal GLU conv against ring buffer
+      ("attn", layer_idx, monotonic)   windowed dot-product attention
+      ("residual",)                    x = (x + saved_residual) * sqrt(.5)
+      ("save_residual",)
+    Weight arrays are appended to `flat` in plan order; each consuming op
+    records its (start, count) slice.
+    """
+    plan = []
+    flat = []
+    buffers = []  # (length, channels) per ring buffer
+
+    def push(*arrs):
+        start = len(flat)
+        flat.extend(arrs)
+        return start
+
+    def emit_stack(stack_params, specs):
+        for p, s in zip(stack_params, specs):
+            if s.kind == "conv1x1":
+                w, b = _fold_conv(p["conv"])    # kw==1 -> (cin, cout)
+                plan.append(("linear", s.activation, push(w, b)))
+            elif s.kind == "glu":
+                w, b = _fold_conv(p["conv"])
+                if s.kernel_size > 1:
+                    buf = len(buffers)
+                    buffers.append(((s.kernel_size - 1) * s.dilation + 1,
+                                    s.in_channels))
+                else:
+                    buf = -1
+                plan.append(("glu", s.kernel_size, s.dilation, s.residual,
+                             buf, push(w, b)))
+            else:
+                raise NotImplementedError(
+                    "fused decode: unsupported spec kind %s" % s.kind)
+
+    # prenet (residual handled inside glu specs)
+    emit_stack(params["prenet"], cfg.prenet_specs)
+
+    # conv + attention stack: residual around (conv [+ attention])
+    n_att = 0
+    for idx, (p, s, p_attn, a_spec) in enumerate(zip(
+            params["convs"], cfg.conv_specs, params["attention"],
+            cfg.attention_specs)):
+        plan.append(("save_residual",))
+        w, b = _fold_conv(p["conv"])
+        if s.kernel_size > 1:
+            buf = len(buffers)
+            buffers.append(((s.kernel_size - 1) * s.dilation + 1,
+                            s.in_channels))
+        else:
+            buf = -1
+        plan.append(("glu", s.kernel_size, s.dilation, False, buf,
+                     push(w, b)))
+        if a_spec is not None:
+            wq, bq = _fold_linear(p_attn["query_proj"])
+            wo, bo = _fold_linear(p_attn["out_proj"])
+            plan.append(("attn", n_att,
+                         bool(cfg.force_monotonic_attention[idx]),
+                         a_spec.window_backward, a_spec.window_ahead,
+                         push(wq, bq, wo, bo)))
+            n_att += 1
+        plan.append(("residual",))
+
+    w, b = _fold_conv(params["last_conv"])
+    last = push(w, b)
+    wf, bf = _fold_linear(params["fc"])
+    fc = push(wf, bf)
+    return ((tuple(plan), tuple(buffers), last, fc, n_att), flat)
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+
+def _softmax_lastdim(s):
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+def _first_argmax(x):
+    """First index of the row max — jnp.argmax semantics via min-reduce
+    (robust Mosaic lowering)."""
+    tk = x.shape[-1]
+    m = jnp.max(x, axis=-1, keepdims=True)
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return jnp.min(jnp.where(x >= m, col, tk), axis=-1).astype(jnp.int32)
+
+
+def _make_kernel(plan_pack, n_att, out_dim, state_dim, tk, min_steps):
+    plan, buffers, last_idx, fc_idx, _ = plan_pack
+
+    def kernel(*refs):
+        # refs layout:
+        #   fpe_ref (1, C) — this step's query position encoding
+        #   mask_ref (B, Tk) additive mask (0 valid / MASK padded)
+        #   init_ref (B, out_dim) initial input frame
+        #   kv refs: n_att * (keys (B,Tk,E), values (B,Tk,E))
+        #   weight refs: flat list from build_plan
+        #   out refs: out (1,B,out), align (1,B,Tk), done (1,B),
+        #             dec_state (1,B,C)
+        #   scratch: prev (B,out), la (B,max(n_att,1)) int32, ring buffers...
+        i = 0
+        fpe_ref = refs[i]; i += 1
+        mask_ref = refs[i]; i += 1
+        init_ref = refs[i]; i += 1
+        kv_refs = refs[i:i + 2 * n_att]; i += 2 * n_att
+        n_w = fc_idx + 2  # fc's (w, b) are the last two flat weights
+        w_refs = refs[i:i + n_w]; i += n_w
+        out_ref, align_ref, done_ref, dstate_ref = refs[i:i + 4]; i += 4
+        prev_ref, la_ref = refs[i:i + 2]; i += 2
+        buf_refs = refs[i:]
+
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _init():
+            prev_ref[...] = init_ref[...]
+            la_ref[...] = jnp.zeros_like(la_ref)
+            for br in buf_refs:
+                br[...] = jnp.zeros_like(br)
+
+        x = prev_ref[...]
+        fpe = fpe_ref[0, :]                     # (C,)
+        addmask = mask_ref[...]                 # (B, Tk)
+        ave_align = jnp.zeros((x.shape[0], tk), jnp.float32)
+        residual = x
+
+        def matmul(a, w, b):
+            return jnp.dot(a, w, preferred_element_type=jnp.float32) + b[None, :]
+
+        for op in plan:
+            if op[0] == "linear":
+                _, act, widx = op
+                x = matmul(x, w_refs[widx][...], w_refs[widx + 1][...])
+                if act == "relu":
+                    x = jnp.maximum(x, 0.0)
+                elif act == "sigmoid":
+                    x = jax.nn.sigmoid(x)
+            elif op[0] == "glu":
+                _, kw, dil, res, buf, widx = op
+                w = w_refs[widx][...]
+                b = w_refs[widx + 1][...]
+                inp = x
+                if buf >= 0:
+                    L = buffers[buf][0]
+                    old = buf_refs[buf][...]
+                    newbuf = jnp.concatenate(
+                        [old[:, 1:, :], inp[:, None, :]], axis=1)
+                    buf_refs[buf][...] = newbuf
+                    taps = jnp.concatenate(
+                        [newbuf[:, j, :] for j in range(0, L, dil)], axis=-1)
+                else:
+                    taps = inp
+                y = matmul(taps, w, b)
+                a, g = jnp.split(y, 2, axis=-1)
+                x = a * jax.nn.sigmoid(g)
+                if res:
+                    x = (x + inp) * SQRT_HALF
+            elif op[0] == "save_residual":
+                residual = x
+            elif op[0] == "residual":
+                x = (x + residual) * SQRT_HALF
+            elif op[0] == "attn":
+                _, a_idx, monotonic, w_back, w_ahead, widx = op
+                keys = kv_refs[2 * a_idx][...]       # (B, Tk, E)
+                values = kv_refs[2 * a_idx + 1][...]
+                q = x + fpe[None, :]
+                qp = matmul(q, w_refs[widx][...], w_refs[widx + 1][...])
+                s = jnp.sum(keys * qp[:, None, :], axis=-1)       # (B, Tk)
+                s = s + addmask
+                if monotonic:
+                    la = la_ref[:, a_idx][:, None]                # (B, 1)
+                    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                    win = (col < la - w_back) | (col >= la + w_ahead)
+                    s = jnp.where(win, MASK, s)
+                attn = _softmax_lastdim(s)
+                if monotonic:
+                    la_ref[:, a_idx] = _first_argmax(attn)
+                ctx = jnp.sum(attn[:, :, None] * values, axis=1)  # (B, E)
+                ctx = ctx * (tk * math.sqrt(1.0 / tk))
+                o = matmul(ctx, w_refs[widx + 2][...], w_refs[widx + 3][...])
+                x = (o + q) * SQRT_HALF
+                ave_align = ave_align + attn
+            else:
+                raise AssertionError(op)
+
+        dstate_ref[0] = x
+        y = matmul(x, w_refs[last_idx][...], w_refs[last_idx + 1][...])
+        out = jax.nn.sigmoid(y)
+        out_ref[0] = out
+        prev_ref[...] = out
+        done = jax.nn.sigmoid(
+            matmul(y, w_refs[fc_idx][...], w_refs[fc_idx + 1][...]))
+        done_ref[0] = done[:, 0]
+        align_ref[0] = ave_align / max(n_att, 1)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# launcher
+# ---------------------------------------------------------------------------
+
+
+def fused_decode(params, cfg, projected_kv, fpe_table, mask, initial_input,
+                 max_steps, *, interpret=None):
+    """Run the decoder for max_steps frames in one Pallas kernel.
+
+    Args:
+        params: decoder params (weight-normalized; folded here).
+        cfg: DecoderConfig.
+        projected_kv: [(keys, values)] per attention layer (None entries
+            dropped), from decoder_precompute.
+        fpe_table: (max_steps, C) query position encodings for t=1..max_steps.
+        mask: (B, Tk) bool padding mask or None.
+        initial_input: (B, in_dim*r).
+        max_steps: static step count.
+
+    Returns (outputs (B,T,out), aligns (B,T,Tk), done (B,T),
+             dec_states (B,T,C)) — same layout as decode_scan before its
+    length computation.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    plan_pack, flat = build_plan(params, cfg)
+    plan, buffers, last_idx, fc_idx, n_att = plan_pack
+
+    kv = [p for p in projected_kv if p is not None]
+    assert len(kv) == n_att
+    keys0 = kv[0][0]
+    B, tk = keys0.shape[0], keys0.shape[1]
+    out_dim = cfg.in_dim * cfg.r
+    state_dim = cfg.convolutions[0][0]
+    f32 = jnp.float32
+
+    addmask = (jnp.where(mask, MASK, 0.0).astype(f32) if mask is not None
+               else jnp.zeros((B, tk), f32))
+
+    kernel = _make_kernel(plan_pack, n_att, out_dim, state_dim, tk,
+                          cfg.min_decoder_steps)
+
+    def full():
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    in_specs = [pl.BlockSpec((1, fpe_table.shape[1]), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM),
+                full(), full()]
+    inputs = [fpe_table.astype(f32), addmask, initial_input.astype(f32)]
+    for k, v in kv:
+        inputs += [k.astype(f32), v.astype(f32)]
+        in_specs += [full(), full()]
+    for wgt in flat:
+        inputs.append(wgt.astype(f32))
+        in_specs.append(full())
+
+    out_shape = [
+        jax.ShapeDtypeStruct((max_steps, B, out_dim), f32),
+        jax.ShapeDtypeStruct((max_steps, B, tk), f32),
+        jax.ShapeDtypeStruct((max_steps, B), f32),
+        jax.ShapeDtypeStruct((max_steps, B, state_dim), f32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, B, out_dim), lambda t: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, B, tk), lambda t: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, B), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, B, state_dim), lambda t: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    scratch = [
+        pltpu.VMEM((B, out_dim), f32),                     # fed-back frame
+        pltpu.VMEM((B, max(n_att, 1)), jnp.int32),         # last_attended
+    ]
+    for (L, C) in buffers:
+        scratch.append(pltpu.VMEM((B, L, C), f32))
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(max_steps,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(*inputs)
+
+    outputs, aligns, done, dstates = outs
+    # (T, B, ...) -> (B, T, ...)
+    return (jnp.swapaxes(outputs, 0, 1), jnp.swapaxes(aligns, 0, 1),
+            jnp.swapaxes(done, 0, 1), jnp.swapaxes(dstates, 0, 1))

@@ -30,16 +30,20 @@ def _prepare_batch(frontend_mod, texts, p=0.0, pad_to=None):
 
 def tts_batch(params, cfg, ap: AudioProcessor, frontend_mod, texts, *,
               p=0.0, speaker_ids=None, max_decoder_steps=500,
-              early_exit=True, pad_to=8):
+              early_exit=True, pad_to=8, fused=False):
     """Batched text -> waveform. Returns a list of per-utterance dicts with
-    waveform / mel / linear / alignment, trimmed to decoded lengths."""
+    waveform / mel / linear / alignment, trimmed to decoded lengths.
+
+    fused=True routes single-speaker decoding through the whole-loop Pallas
+    kernel (ops/fused_decode.py); implies fixed-length decoding."""
     x, pos, lengths = _prepare_batch(frontend_mod, texts, p, pad_to)
     spk = None if speaker_ids is None else jnp.asarray(speaker_ids)
 
     mel, linear, align, done, dec_lengths = model_synthesize(
         params, cfg, jnp.asarray(x), jnp.asarray(pos), speaker_ids=spk,
         input_lengths=jnp.asarray(lengths),
-        max_decoder_steps=max_decoder_steps, early_exit=early_exit)
+        max_decoder_steps=max_decoder_steps,
+        early_exit=early_exit and not fused, fused=fused)
 
     # Griffin-Lim the whole batch on device in one call
     wav_batch = ap.inv_spectrogram_batch(linear)

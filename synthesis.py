@@ -64,6 +64,8 @@ def main():
                         default=0.0)
     parser.add_argument("--speaker_id", type=int, default=None)
     parser.add_argument("--batch-size", type=int, default=1)
+    parser.add_argument("--fused", action="store_true",
+                        help="decode with the whole-loop Pallas kernel")
     parser.add_argument("--output-html", action="store_true")
     args = parser.parse_args()
 
@@ -99,7 +101,8 @@ def main():
         results = tts_batch(params, cfg, ap, _frontend, texts,
                             p=args.replace_pronunciation_prob,
                             speaker_ids=spk,
-                            max_decoder_steps=args.max_decoder_steps)
+                            max_decoder_steps=args.max_decoder_steps,
+                            fused=args.fused)
         for j, (text, res) in enumerate(zip(texts, results)):
             idx = s + j
             name = "{}_{}{}".format(idx, checkpoint_name,

@@ -1,0 +1,80 @@
+# coding: utf-8
+"""Fused Pallas decoder (ops/fused_decode.py) ≡ scan decoder
+(models/decode.py) — the whole-loop kernel must reproduce the reference
+decode semantics exactly (same contract the reference tests hold between
+batch and incremental paths, reference tests/test_deepvoice3.py:182-231)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepvoice3_pytorch_tpu import builder as b
+from deepvoice3_pytorch_tpu.builder import model_synthesize
+
+
+def _tiny(n_speakers=1, **kw):
+    kwargs = dict(n_vocab=149, embed_dim=64, mel_dim=16, linear_dim=65,
+                  r=2, downsample_step=1, dropout=0.05, kernel_size=3,
+                  encoder_channels=32, decoder_channels=32,
+                  converter_channels=32, use_memory_mask=True,
+                  key_projection=True, value_projection=True,
+                  max_positions=64, force_monotonic_attention=True)
+    kwargs.update(kw)
+    cfg = b.deepvoice3(**kwargs)
+    params = b.model_init(jax.random.PRNGKey(42), cfg)
+    return cfg, params
+
+
+def _inputs(B=3, T_text=12):
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randint(1, 149, (B, T_text)), jnp.int32)
+    pos = jnp.asarray(np.tile(np.arange(1, T_text + 1), (B, 1)), jnp.int32)
+    lengths = jnp.asarray([T_text, T_text - 3, T_text - 5], jnp.int32)
+    return x, pos, lengths
+
+
+@pytest.mark.parametrize("monotonic", [True, False])
+def test_fused_matches_scan(monotonic):
+    cfg, params = _tiny(force_monotonic_attention=monotonic)
+    x, pos, lengths = _inputs()
+    T = 11
+
+    ref = model_synthesize(params, cfg, x, pos, input_lengths=lengths,
+                           max_decoder_steps=T, early_exit=False)
+    got = model_synthesize(params, cfg, x, pos, input_lengths=lengths,
+                           max_decoder_steps=T, early_exit=False, fused=True)
+
+    names = ["mel", "linear", "align", "done", "lengths"]
+    for name, a, c in zip(names, ref, got):
+        a, c = np.asarray(a, np.float64), np.asarray(c, np.float64)
+        assert a.shape == c.shape, (name, a.shape, c.shape)
+        assert np.abs(a - c).max() < 2e-5, (name, np.abs(a - c).max())
+
+
+def test_fused_matches_scan_no_mask():
+    cfg, params = _tiny(use_memory_mask=False)
+    x, pos, _ = _inputs()
+    T = 7
+    ref = model_synthesize(params, cfg, x, pos, max_decoder_steps=T,
+                           early_exit=False)
+    got = model_synthesize(params, cfg, x, pos, max_decoder_steps=T,
+                           early_exit=False, fused=True)
+    for a, c in zip(ref, got):
+        assert np.abs(np.asarray(a, np.float64)
+                      - np.asarray(c, np.float64)).max() < 2e-5
+
+
+def test_fused_under_jit():
+    cfg, params = _tiny()
+    x, pos, lengths = _inputs()
+
+    @jax.jit
+    def run(params, x, pos, lengths):
+        return model_synthesize(params, cfg, x, pos, input_lengths=lengths,
+                                max_decoder_steps=5, early_exit=False,
+                                fused=True)
+
+    out = run(params, x, pos, lengths)
+    assert np.isfinite(np.asarray(out[0])).all()
