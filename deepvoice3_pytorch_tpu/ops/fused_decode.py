@@ -49,11 +49,12 @@ MASK = -1.0e9
 
 
 def _fold_conv(p):
-    """Weight-norm fold: (kw, in, out) effective weight + bias, reshaped for
-    the per-step taps matmul (kw*in, out)."""
-    w = core.conv1d_weight(p)
-    kw, cin, cout = w.shape
-    return w.reshape(kw * cin, cout), p["b"]
+    """Weight-norm fold: (kw, in, out) effective per-tap weights + bias.
+
+    Kept 3-D: the kernel does one matmul per tap and accumulates, rather
+    than concatenating taps along the lane dim (a concat of sublane-sliced
+    rows is an unimplemented Mosaic layout case)."""
+    return core.conv1d_weight(p), p["b"]
 
 
 def _fold_linear(p):
@@ -189,7 +190,7 @@ def _make_kernel(plan_pack, n_att, out_dim, state_dim, tk, min_steps):
                 br[...] = jnp.zeros_like(br)
 
         x = prev_ref[...]
-        fpe = fpe_ref[0, :]                     # (C,)
+        fpe = fpe_ref[pl.ds(t, 1), :][0]        # (C,) row t of the table
         addmask = mask_ref[...]                 # (B, Tk)
         ave_align = jnp.zeros((x.shape[0], tk), jnp.float32)
         residual = x
@@ -200,27 +201,33 @@ def _make_kernel(plan_pack, n_att, out_dim, state_dim, tk, min_steps):
         for op in plan:
             if op[0] == "linear":
                 _, act, widx = op
-                x = matmul(x, w_refs[widx][...], w_refs[widx + 1][...])
+                x = matmul(x, w_refs[widx][0], w_refs[widx + 1][...])
                 if act == "relu":
                     x = jnp.maximum(x, 0.0)
                 elif act == "sigmoid":
                     x = jax.nn.sigmoid(x)
             elif op[0] == "glu":
                 _, kw, dil, res, buf, widx = op
-                w = w_refs[widx][...]
+                w = w_refs[widx]                 # (kw, cin, 2*cout) ref
                 b = w_refs[widx + 1][...]
                 inp = x
                 if buf >= 0:
+                    # taps in the shifted buffer sit at rows j*dil for
+                    # j<kw; row (kw-1)*dil == L-1 is the incoming frame.
+                    # Accumulate one matmul per tap — no lane concat.
                     L = buffers[buf][0]
                     old = buf_refs[buf][...]
-                    newbuf = jnp.concatenate(
-                        [old[:, 1:, :], inp[:, None, :]], axis=1)
-                    buf_refs[buf][...] = newbuf
-                    taps = jnp.concatenate(
-                        [newbuf[:, j, :] for j in range(0, L, dil)], axis=-1)
+                    y = jnp.dot(inp, w[kw - 1],
+                                preferred_element_type=jnp.float32)
+                    for j in range(kw - 1):
+                        tap = old[:, j * dil + 1, :]
+                        y = y + jnp.dot(tap, w[j],
+                                        preferred_element_type=jnp.float32)
+                    y = y + b[None, :]
+                    buf_refs[buf][:, :L - 1, :] = old[:, 1:, :]
+                    buf_refs[buf][:, L - 1, :] = inp
                 else:
-                    taps = inp
-                y = matmul(taps, w, b)
+                    y = matmul(inp, w[0], b)
                 a, g = jnp.split(y, 2, axis=-1)
                 x = a * jax.nn.sigmoid(g)
                 if res:
@@ -238,13 +245,17 @@ def _make_kernel(plan_pack, n_att, out_dim, state_dim, tk, min_steps):
                 s = jnp.sum(keys * qp[:, None, :], axis=-1)       # (B, Tk)
                 s = s + addmask
                 if monotonic:
-                    la = la_ref[:, a_idx][:, None]                # (B, 1)
+                    la_full = la_ref[...]
+                    la = la_full[:, a_idx:a_idx + 1]              # (B, 1)
                     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
                     win = (col < la - w_back) | (col >= la + w_ahead)
                     s = jnp.where(win, MASK, s)
                 attn = _softmax_lastdim(s)
                 if monotonic:
-                    la_ref[:, a_idx] = _first_argmax(attn)
+                    new_la = _first_argmax(attn)[:, None]         # (B, 1)
+                    lane = jax.lax.broadcasted_iota(
+                        jnp.int32, la_full.shape, 1)
+                    la_ref[...] = jnp.where(lane == a_idx, new_la, la_full)
                 ctx = jnp.sum(attn[:, :, None] * values, axis=1)  # (B, E)
                 ctx = ctx * (tk * math.sqrt(1.0 / tk))
                 o = matmul(ctx, w_refs[widx + 2][...], w_refs[widx + 3][...])
@@ -254,13 +265,13 @@ def _make_kernel(plan_pack, n_att, out_dim, state_dim, tk, min_steps):
                 raise AssertionError(op)
 
         dstate_ref[0] = x
-        y = matmul(x, w_refs[last_idx][...], w_refs[last_idx + 1][...])
+        y = matmul(x, w_refs[last_idx][0], w_refs[last_idx + 1][...])
         out = jax.nn.sigmoid(y)
         out_ref[0] = out
         prev_ref[...] = out
         done = jax.nn.sigmoid(
             matmul(y, w_refs[fc_idx][...], w_refs[fc_idx + 1][...]))
-        done_ref[0] = done[:, 0]
+        done_ref[0] = done                      # (B, 1)
         align_ref[0] = ave_align / max(n_att, 1)
 
     return kernel
@@ -312,9 +323,7 @@ def fused_decode(params, cfg, projected_kv, fpe_table, mask, initial_input,
     def full():
         return pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    in_specs = [pl.BlockSpec((1, fpe_table.shape[1]), lambda t: (t, 0),
-                             memory_space=pltpu.VMEM),
-                full(), full()]
+    in_specs = [full(), full(), full()]
     inputs = [fpe_table.astype(f32), addmask, initial_input.astype(f32)]
     for k, v in kv:
         inputs += [k.astype(f32), v.astype(f32)]
@@ -326,7 +335,7 @@ def fused_decode(params, cfg, projected_kv, fpe_table, mask, initial_input,
     out_shape = [
         jax.ShapeDtypeStruct((max_steps, B, out_dim), f32),
         jax.ShapeDtypeStruct((max_steps, B, tk), f32),
-        jax.ShapeDtypeStruct((max_steps, B), f32),
+        jax.ShapeDtypeStruct((max_steps, B, 1), f32),
         jax.ShapeDtypeStruct((max_steps, B, state_dim), f32),
     ]
     out_specs = [
@@ -334,7 +343,8 @@ def fused_decode(params, cfg, projected_kv, fpe_table, mask, initial_input,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, B, tk), lambda t: (t, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, B), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, B, 1), lambda t: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((1, B, state_dim), lambda t: (t, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
@@ -360,4 +370,4 @@ def fused_decode(params, cfg, projected_kv, fpe_table, mask, initial_input,
     outputs, aligns, done, dstates = outs
     # (T, B, ...) -> (B, T, ...)
     return (jnp.swapaxes(outputs, 0, 1), jnp.swapaxes(aligns, 0, 1),
-            jnp.swapaxes(done, 0, 1), jnp.swapaxes(dstates, 0, 1))
+            jnp.swapaxes(done[..., 0], 0, 1), jnp.swapaxes(dstates, 0, 1))

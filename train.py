@@ -38,6 +38,7 @@ from deepvoice3_pytorch_tpu.dsp.audio import AudioProcessor
 from deepvoice3_pytorch_tpu.training import (trainer, dataset,
                                              checkpoint as ckpt)
 from deepvoice3_pytorch_tpu.parallel import mesh as mesh_lib
+from deepvoice3_pytorch_tpu.utils import profiling
 from deepvoice3_pytorch_tpu.synthesis import tts_batch
 
 
@@ -143,6 +144,12 @@ def main():
     parser.add_argument("--speaker-id", type=int, default=None)
     parser.add_argument("--max-steps", type=int, default=None,
                         help="Stop after N steps (default: nepochs epochs)")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="Capture a jax.profiler trace to this dir")
+    parser.add_argument("--profile-start", type=int, default=10,
+                        help="First step of the profiler trace window")
+    parser.add_argument("--profile-steps", type=int, default=5,
+                        help="Number of steps to trace")
     args = parser.parse_args()
 
     if args.preset is not None:
@@ -224,6 +231,10 @@ def main():
     eval_interval = hparams.eval_interval
     os.makedirs(args.checkpoint_dir, exist_ok=True)
 
+    step_timer = profiling.StepTimer()
+    tracer = profiling.TraceWindow(args.profile_dir, args.profile_start,
+                                   args.profile_steps)
+
     print("Starting training (%d utterances, batch %d)"
           % (len(ds), hparams.batch_size))
     try:
@@ -235,16 +246,21 @@ def main():
                     continue  # ragged tail batch cannot shard evenly
                 batch = mesh_lib.shard_batch(mesh, batch)
                 rng, step_rng = jax.random.split(rng)
+                tracer.maybe_start(global_step)
                 state, metrics = step_fn(state, batch, step_rng)
                 global_step += 1
+                step_timer.tick()
+                tracer.maybe_stop(global_step)
 
                 if global_step % 50 == 0 or global_step < 5:
                     m = {k: float(v) for k, v in metrics.items()}
-                    print("step %d | loss %.4f | %s"
+                    perf = step_timer.report(writer, global_step)
+                    print("step %d | loss %.4f | %s%s"
                           % (global_step, m["loss"],
                              " ".join("%s %.4f" % (k, v)
                                       for k, v in sorted(m.items())
-                                      if k != "loss")))
+                                      if k != "loss"),
+                             (" | " + perf) if perf else ""))
                 if writer is not None and global_step % 10 == 0:
                     for k, v in metrics.items():
                         writer.add_scalar(k, float(v), global_step)
@@ -276,6 +292,7 @@ def main():
     except KeyboardInterrupt:
         print("Interrupted — saving checkpoint")
     finally:
+        tracer.close()
         ckpt.save_checkpoint(
             args.checkpoint_dir, state.params, state.opt_state, global_step,
             global_epoch, train_seq2seq=train_seq2seq,
