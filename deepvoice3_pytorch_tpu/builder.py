@@ -347,7 +347,7 @@ def model_synthesize(params, cfg: TTSModelConfig, text_sequences,
         speaker_embed=speaker_embed)
 
     decode_kwargs = {}
-    if fused and cfg.builder != "nyanko":
+    if fused:
         decode_kwargs["fused"] = True
     out = fam.decoder_decode(
         params["decoder"], cfg.decoder, encoder_out, text_positions,

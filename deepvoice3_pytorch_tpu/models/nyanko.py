@@ -289,7 +289,7 @@ def make_decoder_step(params, cfg: NyankoDecoderConfig, projected_kv,
 def decoder_decode(params, cfg: NyankoDecoderConfig, encoder_out,
                    text_positions, *, speaker_embed=None, lengths=None,
                    initial_input=None, test_inputs=None,
-                   max_decoder_steps=None, early_exit=False):
+                   max_decoder_steps=None, early_exit=False, fused=False):
     from . import decode as decode_lib
 
     keys, _ = encoder_out
@@ -300,10 +300,25 @@ def decoder_decode(params, cfg: NyankoDecoderConfig, encoder_out,
             if lengths is not None else None)
     projected_kv, _ = decoder_precompute(params, cfg, encoder_out,
                                          text_positions=text_positions)
-    step_fn = make_decoder_step(params, cfg, projected_kv, mask=mask)
-    state = decoder_init_state(cfg, B, keys.dtype)
     if initial_input is None:
         initial_input = jnp.zeros((B, cfg.in_dim * cfg.r), keys.dtype)
+
+    if fused and test_inputs is None:
+        from ..ops import fused_decode as fd
+
+        # table rows are already sinusoidal with the rate baked in;
+        # the step-t query encoding is row t+1
+        fpe_table = params["embed_query_positions"]["w"][1:max_steps + 1]
+        outputs, aligns, done, dstates = fd.fused_decode(
+            params, cfg, [projected_kv], fpe_table, mask, initial_input,
+            max_steps)
+        lengths_out = decode_lib._length_from_done(
+            done, cfg.min_decoder_steps, jnp.int32(max_steps))
+        return decode_lib.DecodeLoopOut(outputs, aligns, done, dstates,
+                                        lengths_out, jnp.int32(max_steps))
+
+    step_fn = make_decoder_step(params, cfg, projected_kv, mask=mask)
+    state = decoder_init_state(cfg, B, keys.dtype)
 
     if early_exit and test_inputs is None:
         return decode_lib.decode_while(

@@ -62,16 +62,23 @@ def _fold_linear(p):
 
 
 def build_plan(params, cfg):
-    """(static_plan, flat_weight_list) for a DecoderConfig + its params.
+    """(static_plan, flat_weight_list) for a decoder config + its params.
 
     Plan ops (all static metadata):
-      ("linear", act)                  x @ w + b, optional activation
-      ("glu", kw, dil, residual, buf)  causal GLU conv against ring buffer
-      ("attn", layer_idx, monotonic)   windowed dot-product attention
-      ("residual",)                    x = (x + saved_residual) * sqrt(.5)
-      ("save_residual",)
+      ("linear", act, widx)            x @ w + b, optional activation
+      ("linear2", act, widx)           [attn_out, Q] @ W + b without the lane
+                                       concat: x @ W_top + Q @ W_bot + b
+      ("glu", kw, dil, residual, buf, widx)      causal GLU conv vs ring buf
+      ("highway", kw, dil, buf, glu, widx)       causal highway conv
+      ("attn", layer_idx, monotonic, back, ahead, widx)   x <- attention(x)
+      ("save_residual",) / ("residual",)   outer residual * sqrt(.5)
+      ("save_q",)                      stash x as Q (nyanko)
     Weight arrays are appended to `flat` in plan order; each consuming op
-    records its (start, count) slice.
+    records its start index.
+
+    Dispatches on config family: DeepVoice3 DecoderConfig (prenet/convs/
+    attention lists) vs NyankoDecoderConfig (audio_encoder/attention/
+    audio_decoder).
     """
     plan = []
     flat = []
@@ -82,52 +89,71 @@ def build_plan(params, cfg):
         flat.extend(arrs)
         return start
 
-    def emit_stack(stack_params, specs):
-        for p, s in zip(stack_params, specs):
+    def ring(s):
+        if s.kernel_size > 1:
+            buffers.append(((s.kernel_size - 1) * s.dilation + 1,
+                            s.in_channels))
+            return len(buffers) - 1
+        return -1
+
+    def emit_stack(stack_params, specs, skip=0):
+        for p, s in list(zip(stack_params, specs))[skip:]:
             if s.kind == "conv1x1":
-                w, b = _fold_conv(p["conv"])    # kw==1 -> (cin, cout)
+                w, b = _fold_conv(p["conv"])    # kw==1 -> (1, cin, cout)
                 plan.append(("linear", s.activation, push(w, b)))
             elif s.kind == "glu":
                 w, b = _fold_conv(p["conv"])
-                if s.kernel_size > 1:
-                    buf = len(buffers)
-                    buffers.append(((s.kernel_size - 1) * s.dilation + 1,
-                                    s.in_channels))
-                else:
-                    buf = -1
                 plan.append(("glu", s.kernel_size, s.dilation, s.residual,
-                             buf, push(w, b)))
+                             ring(s), push(w, b)))
+            elif s.kind == "highway":
+                w, b = _fold_conv(p["conv"])
+                plan.append(("highway", s.kernel_size, s.dilation, ring(s),
+                             s.highway_glu, push(w, b)))
             else:
                 raise NotImplementedError(
                     "fused decode: unsupported spec kind %s" % s.kind)
 
-    # prenet (residual handled inside glu specs)
-    emit_stack(params["prenet"], cfg.prenet_specs)
-
-    # conv + attention stack: residual around (conv [+ attention])
-    n_att = 0
-    for idx, (p, s, p_attn, a_spec) in enumerate(zip(
-            params["convs"], cfg.conv_specs, params["attention"],
-            cfg.attention_specs)):
-        plan.append(("save_residual",))
-        w, b = _fold_conv(p["conv"])
-        if s.kernel_size > 1:
-            buf = len(buffers)
-            buffers.append(((s.kernel_size - 1) * s.dilation + 1,
-                            s.in_channels))
-        else:
-            buf = -1
-        plan.append(("glu", s.kernel_size, s.dilation, False, buf,
-                     push(w, b)))
-        if a_spec is not None:
-            wq, bq = _fold_linear(p_attn["query_proj"])
-            wo, bo = _fold_linear(p_attn["out_proj"])
-            plan.append(("attn", n_att,
-                         bool(cfg.force_monotonic_attention[idx]),
-                         a_spec.window_backward, a_spec.window_ahead,
-                         push(wq, bq, wo, bo)))
-            n_att += 1
-        plan.append(("residual",))
+    if hasattr(cfg, "audio_encoder"):
+        # ----- nyanko (DCTTS) decoder -----
+        emit_stack(params["audio_encoder"], cfg.audio_encoder)
+        plan.append(("save_q",))
+        a_spec = cfg.attention_spec
+        wq, bq = _fold_linear(params["attention"]["query_proj"])
+        wo, bo = _fold_linear(params["attention"]["out_proj"])
+        plan.append(("attn", 0, bool(cfg.force_monotonic_attention),
+                     a_spec.window_backward, a_spec.window_ahead,
+                     push(wq, bq, wo, bo)))
+        # first audio_decoder layer consumes concat([R, Q]): split its
+        # (2D -> D) weight into the R/Q halves instead of a lane concat
+        first = params["audio_decoder"][0]
+        s0 = cfg.audio_decoder[0]
+        assert s0.kind == "conv1x1"
+        w, b = _fold_conv(first["conv"])        # (1, 2D, D)
+        D = w.shape[1] // 2
+        plan.append(("linear2", s0.activation,
+                     push(w[:, :D, :], w[:, D:, :], b)))
+        emit_stack(params["audio_decoder"], cfg.audio_decoder, skip=1)
+        n_att = 1
+    else:
+        # ----- deepvoice3 decoder -----
+        emit_stack(params["prenet"], cfg.prenet_specs)
+        n_att = 0
+        for idx, (p, s, p_attn, a_spec) in enumerate(zip(
+                params["convs"], cfg.conv_specs, params["attention"],
+                cfg.attention_specs)):
+            plan.append(("save_residual",))
+            w, b = _fold_conv(p["conv"])
+            plan.append(("glu", s.kernel_size, s.dilation, False, ring(s),
+                         push(w, b)))
+            if a_spec is not None:
+                wq, bq = _fold_linear(p_attn["query_proj"])
+                wo, bo = _fold_linear(p_attn["out_proj"])
+                plan.append(("attn", n_att,
+                             bool(cfg.force_monotonic_attention[idx]),
+                             a_spec.window_backward, a_spec.window_ahead,
+                             push(wq, bq, wo, bo)))
+                n_att += 1
+            plan.append(("residual",))
 
     w, b = _fold_conv(params["last_conv"])
     last = push(w, b)
@@ -194,6 +220,7 @@ def _make_kernel(plan_pack, n_att, out_dim, state_dim, tk, min_steps):
         addmask = mask_ref[...]                 # (B, Tk)
         ave_align = jnp.zeros((x.shape[0], tk), jnp.float32)
         residual = x
+        q_saved = x
 
         def matmul(a, w, b):
             return jnp.dot(a, w, preferred_element_type=jnp.float32) + b[None, :]
@@ -232,6 +259,43 @@ def _make_kernel(plan_pack, n_att, out_dim, state_dim, tk, min_steps):
                 x = a * jax.nn.sigmoid(g)
                 if res:
                     x = (x + inp) * SQRT_HALF
+            elif op[0] == "highway":
+                _, kw, dil, buf, glu, widx = op
+                w = w_refs[widx]
+                b = w_refs[widx + 1][...]
+                inp = x
+                if buf >= 0:
+                    L = buffers[buf][0]
+                    old = buf_refs[buf][...]
+                    y = jnp.dot(inp, w[kw - 1],
+                                preferred_element_type=jnp.float32)
+                    for j in range(kw - 1):
+                        y = y + jnp.dot(old[:, j * dil + 1, :], w[j],
+                                        preferred_element_type=jnp.float32)
+                    y = y + b[None, :]
+                    buf_refs[buf][:, :L - 1, :] = old[:, 1:, :]
+                    buf_refs[buf][:, L - 1, :] = inp
+                else:
+                    y = matmul(inp, w[0], b)
+                a, g = jnp.split(y, 2, axis=-1)
+                if glu:
+                    x = (a * jax.nn.sigmoid(g) + inp) * SQRT_HALF
+                else:
+                    gate = jax.nn.sigmoid(g)
+                    x = gate * a + (1.0 - gate) * inp
+            elif op[0] == "linear2":
+                _, act, widx = op
+                x = (jnp.dot(x, w_refs[widx][0],
+                             preferred_element_type=jnp.float32)
+                     + jnp.dot(q_saved, w_refs[widx + 1][0],
+                               preferred_element_type=jnp.float32)
+                     + w_refs[widx + 2][...][None, :])
+                if act == "relu":
+                    x = jnp.maximum(x, 0.0)
+                elif act == "sigmoid":
+                    x = jax.nn.sigmoid(x)
+            elif op[0] == "save_q":
+                q_saved = x
             elif op[0] == "save_residual":
                 residual = x
             elif op[0] == "residual":
@@ -311,7 +375,8 @@ def fused_decode(params, cfg, projected_kv, fpe_table, mask, initial_input,
     keys0 = kv[0][0]
     B, tk = keys0.shape[0], keys0.shape[1]
     out_dim = cfg.in_dim * cfg.r
-    state_dim = cfg.convolutions[0][0]
+    state_dim = (cfg.channels if hasattr(cfg, "channels")
+                 else cfg.convolutions[0][0])
     f32 = jnp.float32
 
     addmask = (jnp.where(mask, MASK, 0.0).astype(f32) if mask is not None

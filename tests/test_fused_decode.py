@@ -66,6 +66,26 @@ def test_fused_matches_scan_no_mask():
                       - np.asarray(c, np.float64)).max() < 2e-5
 
 
+def test_fused_matches_scan_nyanko():
+    cfg = b.nyanko(n_vocab=149, embed_dim=32, mel_dim=16, linear_dim=65,
+                   r=1, downsample_step=4, kernel_size=3,
+                   encoder_channels=32, decoder_channels=32,
+                   converter_channels=32, use_memory_mask=True,
+                   force_monotonic_attention=True, max_positions=64)
+    params = b.model_init(jax.random.PRNGKey(7), cfg)
+    x, pos, lengths = _inputs()
+    T = 9
+    ref = model_synthesize(params, cfg, x, pos, input_lengths=lengths,
+                           max_decoder_steps=T, early_exit=False)
+    got = model_synthesize(params, cfg, x, pos, input_lengths=lengths,
+                           max_decoder_steps=T, early_exit=False, fused=True)
+    names = ["mel", "linear", "align", "done", "lengths"]
+    for name, a, c in zip(names, ref, got):
+        a, c = np.asarray(a, np.float64), np.asarray(c, np.float64)
+        assert a.shape == c.shape, (name, a.shape, c.shape)
+        assert np.abs(a - c).max() < 2e-5, (name, np.abs(a - c).max())
+
+
 def test_fused_under_jit():
     cfg, params = _tiny()
     x, pos, lengths = _inputs()
