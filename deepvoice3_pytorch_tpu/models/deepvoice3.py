@@ -482,15 +482,27 @@ def decoder_decode(params, cfg: DecoderConfig, encoder_out, text_positions, *,
     if initial_input is None:
         initial_input = jnp.zeros((B, cfg.in_dim * cfg.r), keys.dtype)
 
-    if fused and test_inputs is None and speaker_embed is None:
+    if fused and test_inputs is None:
         from ..ops import fused_decode as fd
 
-        steps = jnp.arange(1, max_steps + 1, dtype=jnp.int32)[None, :]
-        fpe_table = sinusoidal_encoding(
-            steps, params["embed_query_positions"]["w"], w_query)[0]
+        steps = jnp.arange(1, max_steps + 1, dtype=jnp.int32)
+        raw_angles = jnp.take(params["embed_query_positions"]["w"], steps,
+                              axis=0)                      # (T, C) raw
+        wq = jnp.asarray(w_query, jnp.float32)
+        if wq.ndim == 0:
+            wq = jnp.full((B,), wq)
+        speaker_bias = None
+        if speaker_embed is not None:
+            speaker_bias = []
+            for plist, specs in ((params["prenet"], cfg.prenet_specs),
+                                 (params["convs"], cfg.conv_specs)):
+                for p, s in zip(plist, specs):
+                    if s.kind == "glu" and s.speaker_proj:
+                        speaker_bias.append(core.softsign(core.linear_apply(
+                            p["speaker_proj"], speaker_embed)))
         outputs, aligns, done, dstates = fd.fused_decode(
-            params, cfg, projected_kv, fpe_table, mask, initial_input,
-            max_steps)
+            params, cfg, projected_kv, raw_angles, mask, initial_input,
+            max_steps, w_query=wq, speaker_bias=speaker_bias, fpe_raw=True)
         lengths_out = decode_lib._length_from_done(
             done, cfg.min_decoder_steps, jnp.int32(max_steps))
         return decode_lib.DecodeLoopOut(outputs, aligns, done, dstates,

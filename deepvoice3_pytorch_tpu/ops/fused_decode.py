@@ -23,9 +23,11 @@ reference caps text length at max_positions=512), and writes one frame of
 output per grid index. HBM traffic per step = outputs only.
 
 Semantics are identical to models/decode.decode_scan with
-models/deepvoice3.make_decoder_step (verified by tests/test_fused_decode.py);
-inference-only (no dropout), single-speaker (multi-speaker decode falls back
-to the scan path).
+models/deepvoice3.make_decoder_step / nyanko.make_decoder_step (verified by
+tests/test_fused_decode.py); inference-only (no dropout). Multi-speaker is
+supported: per-sample query position rates are applied in-kernel on raw
+angle rows, and the per-layer speaker softsign biases (constant per decode)
+are precomputed outside and added before the GLU gate.
 """
 
 import math
@@ -89,11 +91,19 @@ def build_plan(params, cfg):
         flat.extend(arrs)
         return start
 
+    n_sp = [0]   # speaker-bias slots (multi-speaker GLU softsign biases)
+
     def ring(s):
         if s.kernel_size > 1:
             buffers.append(((s.kernel_size - 1) * s.dilation + 1,
                             s.in_channels))
             return len(buffers) - 1
+        return -1
+
+    def sp_slot(s):
+        if s.speaker_proj:
+            n_sp[0] += 1
+            return n_sp[0] - 1
         return -1
 
     def emit_stack(stack_params, specs, skip=0):
@@ -104,7 +114,7 @@ def build_plan(params, cfg):
             elif s.kind == "glu":
                 w, b = _fold_conv(p["conv"])
                 plan.append(("glu", s.kernel_size, s.dilation, s.residual,
-                             ring(s), push(w, b)))
+                             ring(s), sp_slot(s), push(w, b)))
             elif s.kind == "highway":
                 w, b = _fold_conv(p["conv"])
                 plan.append(("highway", s.kernel_size, s.dilation, ring(s),
@@ -144,7 +154,7 @@ def build_plan(params, cfg):
             plan.append(("save_residual",))
             w, b = _fold_conv(p["conv"])
             plan.append(("glu", s.kernel_size, s.dilation, False, ring(s),
-                         push(w, b)))
+                         sp_slot(s), push(w, b)))
             if a_spec is not None:
                 wq, bq = _fold_linear(p_attn["query_proj"])
                 wo, bo = _fold_linear(p_attn["out_proj"])
@@ -159,7 +169,7 @@ def build_plan(params, cfg):
     last = push(w, b)
     wf, bf = _fold_linear(params["fc"])
     fc = push(wf, bf)
-    return ((tuple(plan), tuple(buffers), last, fc, n_att), flat)
+    return ((tuple(plan), tuple(buffers), last, fc, n_att, n_sp[0]), flat)
 
 
 # ---------------------------------------------------------------------------
@@ -182,24 +192,30 @@ def _first_argmax(x):
     return jnp.min(jnp.where(x >= m, col, tk), axis=-1).astype(jnp.int32)
 
 
-def _make_kernel(plan_pack, n_att, out_dim, state_dim, tk, min_steps):
-    plan, buffers, last_idx, fc_idx, _ = plan_pack
+def _make_kernel(plan_pack, n_att, out_dim, state_dim, tk, min_steps,
+                 fpe_raw):
+    plan, buffers, last_idx, fc_idx, _, n_sp = plan_pack
 
     def kernel(*refs):
         # refs layout:
-        #   fpe_ref (1, C) — this step's query position encoding
+        #   fpe_ref (T, C) — query position table (raw angles or encodings)
+        #   wq_ref (B, 1) — per-sample query position rate (fpe_raw mode)
         #   mask_ref (B, Tk) additive mask (0 valid / MASK padded)
         #   init_ref (B, out_dim) initial input frame
         #   kv refs: n_att * (keys (B,Tk,E), values (B,Tk,E))
+        #   sp refs: n_sp * (B, cout) speaker softsign biases
         #   weight refs: flat list from build_plan
-        #   out refs: out (1,B,out), align (1,B,Tk), done (1,B),
+        #   out refs: out (1,B,out), align (1,B,Tk), done (1,B,1),
         #             dec_state (1,B,C)
         #   scratch: prev (B,out), la (B,max(n_att,1)) int32, ring buffers...
         i = 0
         fpe_ref = refs[i]; i += 1
+        wq_ref = refs[i] if fpe_raw else None
+        i += 1 if fpe_raw else 0
         mask_ref = refs[i]; i += 1
         init_ref = refs[i]; i += 1
         kv_refs = refs[i:i + 2 * n_att]; i += 2 * n_att
+        sp_refs = refs[i:i + n_sp]; i += n_sp
         n_w = fc_idx + 2  # fc's (w, b) are the last two flat weights
         w_refs = refs[i:i + n_w]; i += n_w
         out_ref, align_ref, done_ref, dstate_ref = refs[i:i + 4]; i += 4
@@ -216,7 +232,16 @@ def _make_kernel(plan_pack, n_att, out_dim, state_dim, tk, min_steps):
                 br[...] = jnp.zeros_like(br)
 
         x = prev_ref[...]
-        fpe = fpe_ref[pl.ds(t, 1), :][0]        # (C,) row t of the table
+        ang = fpe_ref[pl.ds(t, 1), :]           # (1, C) row t of the table
+        if fpe_raw:
+            # per-sample rate: y = w*ang, then sin on even / cos on odd
+            # columns (ops/positional.py:sinusoidal_encoding; position >= 1
+            # so the padding branch never applies)
+            y = wq_ref[...] * ang               # (B, C)
+            col = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
+            fpe = jnp.where(col % 2 == 0, jnp.sin(y), jnp.cos(y))
+        else:
+            fpe = ang                           # (1, C) already encoded
         addmask = mask_ref[...]                 # (B, Tk)
         ave_align = jnp.zeros((x.shape[0], tk), jnp.float32)
         residual = x
@@ -234,7 +259,7 @@ def _make_kernel(plan_pack, n_att, out_dim, state_dim, tk, min_steps):
                 elif act == "sigmoid":
                     x = jax.nn.sigmoid(x)
             elif op[0] == "glu":
-                _, kw, dil, res, buf, widx = op
+                _, kw, dil, res, buf, sp, widx = op
                 w = w_refs[widx]                 # (kw, cin, 2*cout) ref
                 b = w_refs[widx + 1][...]
                 inp = x
@@ -256,6 +281,8 @@ def _make_kernel(plan_pack, n_att, out_dim, state_dim, tk, min_steps):
                 else:
                     y = matmul(inp, w[0], b)
                 a, g = jnp.split(y, 2, axis=-1)
+                if sp >= 0:
+                    a = a + sp_refs[sp][...]     # speaker softsign bias
                 x = a * jax.nn.sigmoid(g)
                 if res:
                     x = (x + inp) * SQRT_HALF
@@ -304,7 +331,7 @@ def _make_kernel(plan_pack, n_att, out_dim, state_dim, tk, min_steps):
                 _, a_idx, monotonic, w_back, w_ahead, widx = op
                 keys = kv_refs[2 * a_idx][...]       # (B, Tk, E)
                 values = kv_refs[2 * a_idx + 1][...]
-                q = x + fpe[None, :]
+                q = x + fpe                          # fpe (B, C) or (1, C)
                 qp = matmul(q, w_refs[widx][...], w_refs[widx + 1][...])
                 s = jnp.sum(keys * qp[:, None, :], axis=-1)       # (B, Tk)
                 s = s + addmask
@@ -347,18 +374,23 @@ def _make_kernel(plan_pack, n_att, out_dim, state_dim, tk, min_steps):
 
 
 def fused_decode(params, cfg, projected_kv, fpe_table, mask, initial_input,
-                 max_steps, *, interpret=None):
+                 max_steps, *, w_query=None, speaker_bias=None,
+                 fpe_raw=False, interpret=None):
     """Run the decoder for max_steps frames in one Pallas kernel.
 
     Args:
         params: decoder params (weight-normalized; folded here).
-        cfg: DecoderConfig.
+        cfg: DecoderConfig / NyankoDecoderConfig.
         projected_kv: [(keys, values)] per attention layer (None entries
             dropped), from decoder_precompute.
-        fpe_table: (max_steps, C) query position encodings for t=1..max_steps.
+        fpe_table: (max_steps, C) query position rows for t=1..max_steps —
+            final encodings, or raw angles when fpe_raw (per-sample rates).
         mask: (B, Tk) bool padding mask or None.
         initial_input: (B, in_dim*r).
         max_steps: static step count.
+        w_query: (B,) per-sample query position rate (fpe_raw mode).
+        speaker_bias: [(B, cout)] per multi-speaker GLU layer, in plan order
+            (softsign(speaker_proj(speaker_embed)), precomputed outside).
 
     Returns (outputs (B,T,out), aligns (B,T,Tk), done (B,T),
              dec_states (B,T,C)) — same layout as decode_scan before its
@@ -368,10 +400,12 @@ def fused_decode(params, cfg, projected_kv, fpe_table, mask, initial_input,
         interpret = jax.default_backend() != "tpu"
 
     plan_pack, flat = build_plan(params, cfg)
-    plan, buffers, last_idx, fc_idx, n_att = plan_pack
+    plan, buffers, last_idx, fc_idx, n_att, n_sp = plan_pack
 
     kv = [p for p in projected_kv if p is not None]
     assert len(kv) == n_att
+    assert len(speaker_bias or []) == n_sp, \
+        "need %d speaker-bias arrays, got %r" % (n_sp, speaker_bias)
     keys0 = kv[0][0]
     B, tk = keys0.shape[0], keys0.shape[1]
     out_dim = cfg.in_dim * cfg.r
@@ -383,19 +417,22 @@ def fused_decode(params, cfg, projected_kv, fpe_table, mask, initial_input,
                else jnp.zeros((B, tk), f32))
 
     kernel = _make_kernel(plan_pack, n_att, out_dim, state_dim, tk,
-                          cfg.min_decoder_steps)
+                          cfg.min_decoder_steps, fpe_raw)
 
     def full():
         return pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    in_specs = [full(), full(), full()]
-    inputs = [fpe_table.astype(f32), addmask, initial_input.astype(f32)]
+    inputs = [fpe_table.astype(f32)]
+    if fpe_raw:
+        inputs.append(jnp.asarray(w_query, f32).reshape(B, 1))
+    inputs += [addmask, initial_input.astype(f32)]
     for k, v in kv:
         inputs += [k.astype(f32), v.astype(f32)]
-        in_specs += [full(), full()]
+    for sb in (speaker_bias or []):
+        inputs.append(sb.astype(f32))
     for wgt in flat:
         inputs.append(wgt.astype(f32))
-        in_specs.append(full())
+    in_specs = [full() for _ in inputs]
 
     out_shape = [
         jax.ShapeDtypeStruct((max_steps, B, out_dim), f32),

@@ -86,6 +86,31 @@ def test_fused_matches_scan_nyanko():
         assert np.abs(a - c).max() < 2e-5, (name, np.abs(a - c).max())
 
 
+def test_fused_matches_scan_multispeaker():
+    cfg = b.deepvoice3_multispeaker(
+        n_vocab=149, embed_dim=64, mel_dim=16, linear_dim=65, r=2,
+        downsample_step=1, kernel_size=3, encoder_channels=32,
+        decoder_channels=32, converter_channels=32, n_speakers=4,
+        speaker_embed_dim=8, use_memory_mask=True, key_projection=True,
+        value_projection=True, max_positions=64,
+        force_monotonic_attention=True)
+    params = b.model_init(jax.random.PRNGKey(3), cfg)
+    x, pos, lengths = _inputs()
+    spk = jnp.asarray([0, 2, 3], jnp.int32)
+    T = 9
+    ref = model_synthesize(params, cfg, x, pos, input_lengths=lengths,
+                           speaker_ids=spk, max_decoder_steps=T,
+                           early_exit=False)
+    got = model_synthesize(params, cfg, x, pos, input_lengths=lengths,
+                           speaker_ids=spk, max_decoder_steps=T,
+                           early_exit=False, fused=True)
+    names = ["mel", "linear", "align", "done", "lengths"]
+    for name, a, c in zip(names, ref, got):
+        a, c = np.asarray(a, np.float64), np.asarray(c, np.float64)
+        assert a.shape == c.shape, (name, a.shape, c.shape)
+        assert np.abs(a - c).max() < 2e-5, (name, np.abs(a - c).max())
+
+
 def test_fused_under_jit():
     cfg, params = _tiny()
     x, pos, lengths = _inputs()
