@@ -91,25 +91,32 @@ def main():
     x_d, pos_d = jnp.asarray(x), jnp.asarray(pos)
     lengths_d = jnp.asarray(lengths)
 
-    def pipeline(params, x, pos, lengths):
+    # Two compiled programs: seq2seq+postnet synthesis (whole-loop Pallas
+    # decode) and the Griffin-Lim vocoder. Composing them into one jit sends
+    # XLA's optimizer into a tens-of-minutes compile at these shapes
+    # (measured on v5e); as two programs each compiles in seconds-to-minutes
+    # and the extra dispatch is microseconds.
+    def synth(params, x, pos, lengths):
         mel, linear, align, done, dec_len = model_synthesize(
             params, cfg, x, pos, input_lengths=lengths,
-            max_decoder_steps=T_DEC, early_exit=False)
-        wav = ap.inv_spectrogram_device(linear)
-        return wav, mel, dec_len
+            max_decoder_steps=T_DEC, early_exit=False, fused=True)
+        return mel, linear, dec_len
 
-    compiled = jax.jit(pipeline).lower(
-        params, x_d, pos_d, lengths_d).compile()
+    c_synth = jax.jit(synth).lower(params, x_d, pos_d, lengths_d).compile()
+    mel, linear, _ = c_synth(params, x_d, pos_d, lengths_d)
+    jax.block_until_ready(linear)
+    c_voc = jax.jit(ap.inv_spectrogram_device).lower(linear).compile()
 
     # warmup (also validates outputs)
-    wav, mel, _ = compiled(params, x_d, pos_d, lengths_d)
+    wav = c_voc(linear)
     wav.block_until_ready()
     assert np.isfinite(np.asarray(wav)).all(), "non-finite waveform"
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        wav, mel, _ = compiled(params, x_d, pos_d, lengths_d)
+        mel, linear, _ = c_synth(params, x_d, pos_d, lengths_d)
+        wav = c_voc(linear)
         wav.block_until_ready()
         times.append(time.perf_counter() - t0)
 

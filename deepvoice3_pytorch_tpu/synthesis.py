@@ -30,12 +30,18 @@ def _prepare_batch(frontend_mod, texts, p=0.0, pad_to=None):
 
 def tts_batch(params, cfg, ap: AudioProcessor, frontend_mod, texts, *,
               p=0.0, speaker_ids=None, max_decoder_steps=500,
-              early_exit=True, pad_to=8, fused=False):
+              early_exit=True, pad_to=8, fused=None):
     """Batched text -> waveform. Returns a list of per-utterance dicts with
     waveform / mel / linear / alignment, trimmed to decoded lengths.
 
-    fused=True routes single-speaker decoding through the whole-loop Pallas
-    kernel (ops/fused_decode.py); implies fixed-length decoding."""
+    fused routes decoding through the whole-loop Pallas kernel
+    (ops/fused_decode.py); implies fixed-length decoding. Default (None):
+    fused on TPU, scan elsewhere (the Pallas kernel only interprets on CPU).
+    """
+    import jax
+
+    if fused is None:
+        fused = jax.default_backend() == "tpu"
     x, pos, lengths = _prepare_batch(frontend_mod, texts, p, pad_to)
     spk = None if speaker_ids is None else jnp.asarray(speaker_ids)
 

@@ -64,8 +64,9 @@ def main():
                         default=0.0)
     parser.add_argument("--speaker_id", type=int, default=None)
     parser.add_argument("--batch-size", type=int, default=1)
-    parser.add_argument("--fused", action="store_true",
-                        help="decode with the whole-loop Pallas kernel")
+    parser.add_argument("--fused", action="store_true", default=None,
+                        help="decode with the whole-loop Pallas kernel "
+                             "(default: auto — on for TPU)")
     parser.add_argument("--output-html", action="store_true")
     args = parser.parse_args()
 

@@ -76,8 +76,30 @@ def save_states(global_step, writer, outputs, batch, checkpoint_dir, ap):
     path = join(checkpoint_dir, "step%09d_alignment.png" % global_step)
     plot_alignment(attn.mean(0)[idx], path)
 
+    def spec_image(spec):
+        """Normalized spectrogram -> uint8 RGBA image (reference
+        train.py:372-376)."""
+        s = np.flip(np.asarray(spec).T, axis=0)
+        s = np.clip(s, 0.0, 1.0)
+        return np.uint8(cm.magma(s) * 255)
+
+    if writer is not None:
+        writer.add_image("predicted_mel_spectrogram",
+                         spec_image(mel_outputs[idx]), global_step,
+                         dataformats="HWC")
+        writer.add_image("target_mel_spectrogram",
+                         spec_image(batch["mel"][idx]), global_step,
+                         dataformats="HWC")
+
     if linear_outputs is not None:
         linear_output = np.asarray(linear_outputs[idx])
+        if writer is not None:
+            writer.add_image("predicted_linear_spectrogram",
+                             spec_image(linear_output), global_step,
+                             dataformats="HWC")
+            writer.add_image("target_linear_spectrogram",
+                             spec_image(batch["y"][idx]), global_step,
+                             dataformats="HWC")
         wav = ap.inv_spectrogram(linear_output.T)
         path = join(checkpoint_dir, "step%09d_predicted.wav" % global_step)
         ap.save_wav(wav, path)
@@ -235,6 +257,23 @@ def main():
     tracer = profiling.TraceWindow(args.profile_dir, args.profile_start,
                                    args.profile_steps)
 
+    from deepvoice3_pytorch_tpu.builder import model_forward
+
+    @jax.jit
+    def _fwd_for_states(params, x, mel, tp, fp, il, spk):
+        return model_forward(params, cfg, x, mel, speaker_ids=spk,
+                             text_positions=tp, frame_positions=fp,
+                             input_lengths=il)
+
+    def _save_states(step, batch):
+        # jax.jit treats a None argument as an empty pytree, so the same
+        # compiled entry covers single- and multi-speaker batches
+        outputs = _fwd_for_states(
+            state.params, batch["x"], batch["mel"], batch["text_positions"],
+            batch["frame_positions"], batch["input_lengths"],
+            batch.get("speaker_ids"))
+        save_states(step, writer, outputs, batch, args.checkpoint_dir, ap)
+
     print("Starting training (%d utterances, batch %d)"
           % (len(ds), hparams.batch_size))
     try:
@@ -270,6 +309,10 @@ def main():
                 running.append(float(metrics["loss"]))
 
                 if global_step > 0 and global_step % ckpt_interval == 0:
+                    try:
+                        _save_states(global_step, batch)
+                    except Exception as e:
+                        print("save_states failed:", e)
                     ckpt.save_checkpoint(
                         args.checkpoint_dir, state.params, state.opt_state,
                         global_step, global_epoch,
