@@ -80,10 +80,16 @@ class AudioProcessor:
 
         @jax.jit
         def _inv_spectrogram(spec, power):
-            """normalized linear (..., n, F) -> waveform (..., T)."""
+            """normalized linear (..., n, F) -> waveform (..., T).
+
+            optimization_barrier fences around the Griffin-Lim scan: letting
+            XLA fuse the elementwise de-normalization into the FFT loop (or
+            the loop into the IIR that follows) sends TPU compile time from
+            ~3 min to >25 min at batch-32 shapes."""
             S = dsp.db_to_amp(dsp.denormalize(spec, mld) + rld)
-            wav = dsp.griffin_lim(S ** power, fft, hop, win,
-                                  n_iters=self.gl_iters)
+            S = jax.lax.optimization_barrier(S ** power)
+            wav = dsp.griffin_lim(S, fft, hop, win, n_iters=self.gl_iters)
+            wav = jax.lax.optimization_barrier(wav)
             return dsp.inv_preemphasis(wav, pre)
 
         @jax.jit

@@ -82,19 +82,84 @@ def mel_basis(sample_rate, fft_size, n_mels=80, fmin=125, fmax=7600,
 
 
 # ---------------------------------------------------------------------------
+# DFT-as-matmul kernels (TPU path)
+#
+# The TPU has no FFT unit; XLA's FFT lowering produces huge programs whose
+# compile time explodes when composed into larger graphs (measured: minutes
+# to >25 min for Griffin-Lim at batch 32). At fft_size ~1k a dense DFT is a
+# pair of (fft, n_bins) real matmuls — exactly what the MXU is for: compile
+# is trivial and runtime beats the FFT lowering at these sizes.
+# ---------------------------------------------------------------------------
+
+
+def _dft_matrices(fft_size, dtype=np.float32):
+    """Real/imag forward-DFT matrices (fft, n_bins) for rfft semantics."""
+    n = np.arange(fft_size)[:, None].astype(np.float64)
+    k = np.arange(fft_size // 2 + 1)[None, :].astype(np.float64)
+    ang = -2.0 * np.pi * n * k / fft_size
+    return np.cos(ang).astype(dtype), np.sin(ang).astype(dtype)
+
+
+def _idft_matrices(fft_size, dtype=np.float32):
+    """Real/imag inverse matrices (n_bins, fft) such that
+    x = Sr @ inv_re + Si @ inv_im reproduces irfft for a spectrum with
+    Hermitian symmetry (interior bins counted twice)."""
+    n_bins = fft_size // 2 + 1
+    k = np.arange(n_bins)[:, None].astype(np.float64)
+    n = np.arange(fft_size)[None, :].astype(np.float64)
+    ang = 2.0 * np.pi * k * n / fft_size
+    w = np.full((n_bins, 1), 2.0)
+    w[0, 0] = 1.0
+    if fft_size % 2 == 0:
+        w[-1, 0] = 1.0
+    inv_re = (w * np.cos(ang) / fft_size).astype(dtype)
+    inv_im = (-w * np.sin(ang) / fft_size).astype(dtype)
+    return inv_re, inv_im
+
+
+def rdft(frames, fft_size):
+    """rfft via MXU matmuls. frames (..., fft) -> (re, im) (..., bins)."""
+    re_m, im_m = _dft_matrices(fft_size)
+    re = jnp.matmul(frames, jnp.asarray(re_m),
+                    preferred_element_type=jnp.float32)
+    im = jnp.matmul(frames, jnp.asarray(im_m),
+                    preferred_element_type=jnp.float32)
+    return re, im
+
+
+def irdft(re, im, fft_size):
+    """irfft via MXU matmuls. (re, im) (..., bins) -> frames (..., fft)."""
+    inv_re, inv_im = _idft_matrices(fft_size)
+    return (jnp.matmul(re, jnp.asarray(inv_re),
+                       preferred_element_type=jnp.float32)
+            + jnp.matmul(im, jnp.asarray(inv_im),
+                         preferred_element_type=jnp.float32))
+
+
+# ---------------------------------------------------------------------------
 # framing / stft / istft
 # ---------------------------------------------------------------------------
 
 
 def _frame(x, fft_size, hop, center=True):
     """(..., T) -> (..., n_frames, fft_size); center=True reflect-pads by
-    fft_size//2 on both sides (librosa-style)."""
+    fft_size//2 on both sides (librosa-style).
+
+    When fft_size % hop == 0 (1024/256 in every preset) framing is k shifted
+    strided views stacked on a new axis — slices and reshapes only, no
+    gather (XLA gathers at this size are slow to compile and run on TPU)."""
     if center:
         pad = fft_size // 2
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)],
                     mode="reflect")
     T = x.shape[-1]
     n_frames = 1 + (T - fft_size) // hop
+    if fft_size % hop == 0:
+        k = fft_size // hop
+        n_blocks = T // hop
+        z = x[..., :n_blocks * hop].reshape(*x.shape[:-1], n_blocks, hop)
+        chunks = [z[..., c:c + n_frames, :] for c in range(k)]
+        return jnp.concatenate(chunks, axis=-1)
     idx = (jnp.arange(n_frames)[:, None] * hop + jnp.arange(fft_size)[None, :])
     return x[..., idx]
 
@@ -161,11 +226,30 @@ def _overlap_add(frames, fft_size, hop):
 # ---------------------------------------------------------------------------
 
 
+def _ola_normalized(frames, fft_size, hop, window, length=None):
+    """Overlap-add of already-windowed frames + squared-window COLA
+    normalization + center trim — the tail of istft(), shared with the
+    re/im Griffin-Lim path."""
+    y = _overlap_add(frames, fft_size, hop)
+    wsq = jnp.broadcast_to((window * window)[None, :],
+                           (frames.shape[-2], fft_size))
+    norm = _overlap_add(wsq, fft_size, hop)
+    y = y / jnp.maximum(norm, 1e-8)
+    pad = fft_size // 2
+    y = y[..., pad:]
+    if length is not None:
+        return y[..., :length]
+    return y[..., :hop * frames.shape[-2]]
+
+
 def griffin_lim(magnitude, fft_size, hop, window, *, n_iters=60,
                 momentum=0.99, length=None):
     """Phase retrieval from |S| via fast Griffin-Lim (Perraudin et al. 2013),
     the momentum-accelerated fixed point of the same consistency projection
-    LWS solves locally. Runs entirely on device as a lax.scan of FFTs.
+    LWS solves locally. Runs entirely on device as a lax.scan whose body is
+    a handful of MXU matmuls: the DFT/iDFT are dense matrix products (rdft/
+    irdft above) — on TPU this both compiles in seconds (XLA's FFT lowering
+    blows up compile time when composed) and keeps the hot loop on the MXU.
 
     magnitude: (..., n_frames, n_freqs) non-negative.
     Returns waveform (..., T).
@@ -173,25 +257,29 @@ def griffin_lim(magnitude, fft_size, hop, window, *, n_iters=60,
     S = magnitude.astype(jnp.float32)
     eps = 1e-16
 
-    def project(c):
-        x = istft(c, fft_size, hop, window)
-        t = stft(x, fft_size, hop, window)
-        # iSTFT trims/extends frames; pad back to the original frame count
-        if t.shape[-2] != S.shape[-2]:
-            t = _fit_frames(t, S.shape[-2])
-        return t
+    def project(re, im):
+        frames = irdft(re, im, fft_size) * window
+        x = _ola_normalized(frames, fft_size, hop, window)
+        f2 = _frame(x, fft_size, hop) * window
+        t_re, t_im = rdft(f2, fft_size)
+        if t_re.shape[-2] != S.shape[-2]:
+            t_re = _fit_frames(t_re, S.shape[-2])
+            t_im = _fit_frames(t_im, S.shape[-2])
+        return t_re, t_im
 
     def body(carry, _):
-        c, t_prev = carry
-        t = project(c)
-        t_acc = t + momentum * (t - t_prev)
-        phase = t_acc / jnp.maximum(jnp.abs(t_acc), eps)
-        return (S * phase, t), None
+        c_re, c_im, tp_re, tp_im = carry
+        t_re, t_im = project(c_re, c_im)
+        a_re = t_re + momentum * (t_re - tp_re)
+        a_im = t_im + momentum * (t_im - tp_im)
+        mag = jnp.maximum(jnp.sqrt(a_re * a_re + a_im * a_im), eps)
+        return (S * a_re / mag, S * a_im / mag, t_re, t_im), None
 
-    c0 = S.astype(jnp.complex64)
-    t0 = jnp.zeros_like(c0)
-    (c, _), _ = lax.scan(body, (c0, t0), None, length=n_iters)
-    return istft(c, fft_size, hop, window, length=length)
+    z = jnp.zeros_like(S)
+    (c_re, c_im, _, _), _ = lax.scan(body, (S, z, z, z), None,
+                                     length=n_iters)
+    frames = irdft(c_re, c_im, fft_size) * window
+    return _ola_normalized(frames, fft_size, hop, window, length=length)
 
 
 def _fit_frames(t, n_frames):
