@@ -114,9 +114,12 @@ def main():
     c_synth = jax.jit(synth).lower(params, x_d, pos_d, lengths_d).compile()
     mel, linear, _ = c_synth(params, x_d, pos_d, lengths_d)
     jax.block_until_ready(linear)
-    c_voc = jax.jit(ap.inv_spectrogram_device).lower(linear).compile()
+    # NOTE: inv_spectrogram_device is internally jitted with the DFT
+    # matrices as runtime args — wrapping it in another jit would embed
+    # them as giant constants and blow up the remote compile
+    c_voc = ap.inv_spectrogram_device
 
-    # warmup (also validates outputs)
+    # warmup + compile (also validates outputs)
     wav = c_voc(linear)
     assert np.isfinite(np.asarray(wav)).all(), "non-finite waveform"
 

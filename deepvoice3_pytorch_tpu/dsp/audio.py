@@ -78,19 +78,31 @@ class AudioProcessor:
             mel = dsp.normalize(dsp.amp_to_db(mel_amp, mld) - rld, mld)
             return linear, mel
 
-        @jax.jit
-        def _inv_spectrogram(spec, power):
-            """normalized linear (..., n, F) -> waveform (..., T).
+        # The vocoder is three SEPARATE jitted programs chained in Python.
+        # Composing them into one jit (even with optimization_barrier
+        # fences) sends the TPU AOT compile from ~1 min to >25 min at
+        # batch-32 shapes; as separate programs each compiles fast and the
+        # extra dispatches are microseconds. The DFT matrices arrive as
+        # runtime args — multi-MB HLO constants are their own compile-time
+        # blowup (see dsp/stft.py:dft_mats).
 
-            optimization_barrier fences around the Griffin-Lim scan: letting
-            XLA fuse the elementwise de-normalization into the FFT loop (or
-            the loop into the IIR that follows) sends TPU compile time from
-            ~3 min to >25 min at batch-32 shapes."""
+        @jax.jit
+        def _denorm_pow(spec, power):
             S = dsp.db_to_amp(dsp.denormalize(spec, mld) + rld)
-            S = jax.lax.optimization_barrier(S ** power)
-            wav = dsp.griffin_lim(S, fft, hop, win, n_iters=self.gl_iters)
-            wav = jax.lax.optimization_barrier(wav)
+            return S ** power
+
+        @jax.jit
+        def _gl(S, mats):
+            return dsp.griffin_lim(S, fft, hop, win, n_iters=self.gl_iters,
+                                   mats=mats)
+
+        @jax.jit
+        def _inv_pre(wav):
             return dsp.inv_preemphasis(wav, pre)
+
+        def _inv_spectrogram(spec, power, mats):
+            """normalized linear (..., n, F) -> waveform (..., T)."""
+            return _inv_pre(_gl(_denorm_pow(spec, power), mats))
 
         @jax.jit
         def _features_padded(y_padded):
@@ -104,8 +116,9 @@ class AudioProcessor:
             mel = dsp.normalize(dsp.amp_to_db(mel_amp, mld) - rld, mld)
             return linear, mel
 
+        dft = tuple(jnp.asarray(m) for m in dsp.dft_mats(fft))
         self._device = (window, mel_w, _features, _features_padded,
-                        _inv_spectrogram)
+                        _inv_spectrogram, dft)
         return self._device
 
     @property
@@ -189,18 +202,25 @@ class AudioProcessor:
 
     # -- inversion (reference audio.py:37-43) -------------------------------
 
+    @property
+    def _dft(self):
+        return self._device_fns()[5]
+
     def inv_spectrogram(self, spectrogram):
         """spectrogram: (F, n) normalized linear -> waveform, like the
         reference; batched (B, n, F) via inv_spectrogram_batch."""
         spec = jnp.asarray(spectrogram).T
-        return np.asarray(self._inv(spec, self.power))
+        return np.asarray(self._inv(spec, self.power, self._dft))
 
     def inv_spectrogram_batch(self, spec_bnf):
-        return np.asarray(self._inv(jnp.asarray(spec_bnf), self.power))
+        return np.asarray(self._inv(jnp.asarray(spec_bnf), self.power,
+                                    self._dft))
 
     def inv_spectrogram_device(self, spec_bnf):
-        """Stay on device (for fully fused synthesis pipelines)."""
-        return self._inv(spec_bnf, self.power)
+        """Run the (internally jitted) vocoder; the DFT matrices travel as
+        runtime args. Do NOT wrap this in another jit — re-tracing would
+        re-embed them as giant HLO constants (compile-time blowup)."""
+        return self._inv(spec_bnf, self.power, self._dft)
 
     # -- scalar helpers ------------------------------------------------------
 

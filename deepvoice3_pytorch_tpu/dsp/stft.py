@@ -117,23 +117,28 @@ def _idft_matrices(fft_size, dtype=np.float32):
     return inv_re, inv_im
 
 
-def rdft(frames, fft_size):
+def dft_mats(fft_size, dtype=np.float32):
+    """(fwd_re, fwd_im, inv_re, inv_im) as numpy arrays.
+
+    IMPORTANT: pass these into jitted functions as runtime ARGUMENTS, not
+    closed-over constants — multi-MB literals in the HLO send the TPU AOT
+    compile from ~1 min to >35 min (measured)."""
+    re_m, im_m = _dft_matrices(fft_size, dtype)
+    inv_re, inv_im = _idft_matrices(fft_size, dtype)
+    return re_m, im_m, inv_re, inv_im
+
+
+def rdft(frames, mats):
     """rfft via MXU matmuls. frames (..., fft) -> (re, im) (..., bins)."""
-    re_m, im_m = _dft_matrices(fft_size)
-    re = jnp.matmul(frames, jnp.asarray(re_m),
-                    preferred_element_type=jnp.float32)
-    im = jnp.matmul(frames, jnp.asarray(im_m),
-                    preferred_element_type=jnp.float32)
+    re = jnp.matmul(frames, mats[0], preferred_element_type=jnp.float32)
+    im = jnp.matmul(frames, mats[1], preferred_element_type=jnp.float32)
     return re, im
 
 
-def irdft(re, im, fft_size):
+def irdft(re, im, mats):
     """irfft via MXU matmuls. (re, im) (..., bins) -> frames (..., fft)."""
-    inv_re, inv_im = _idft_matrices(fft_size)
-    return (jnp.matmul(re, jnp.asarray(inv_re),
-                       preferred_element_type=jnp.float32)
-            + jnp.matmul(im, jnp.asarray(inv_im),
-                         preferred_element_type=jnp.float32))
+    return (jnp.matmul(re, mats[2], preferred_element_type=jnp.float32)
+            + jnp.matmul(im, mats[3], preferred_element_type=jnp.float32))
 
 
 # ---------------------------------------------------------------------------
@@ -243,25 +248,29 @@ def _ola_normalized(frames, fft_size, hop, window, length=None):
 
 
 def griffin_lim(magnitude, fft_size, hop, window, *, n_iters=60,
-                momentum=0.99, length=None):
+                momentum=0.99, length=None, mats=None):
     """Phase retrieval from |S| via fast Griffin-Lim (Perraudin et al. 2013),
     the momentum-accelerated fixed point of the same consistency projection
     LWS solves locally. Runs entirely on device as a lax.scan whose body is
     a handful of MXU matmuls: the DFT/iDFT are dense matrix products (rdft/
-    irdft above) — on TPU this both compiles in seconds (XLA's FFT lowering
+    irdft above) — on TPU this both compiles in ~1min (XLA's FFT lowering
     blows up compile time when composed) and keeps the hot loop on the MXU.
 
     magnitude: (..., n_frames, n_freqs) non-negative.
+    mats: dft_mats(fft_size) passed as runtime values — jitted callers MUST
+        thread them through as arguments (see dft_mats docstring).
     Returns waveform (..., T).
     """
+    if mats is None:
+        mats = tuple(jnp.asarray(m) for m in dft_mats(fft_size))
     S = magnitude.astype(jnp.float32)
     eps = 1e-16
 
     def project(re, im):
-        frames = irdft(re, im, fft_size) * window
+        frames = irdft(re, im, mats) * window
         x = _ola_normalized(frames, fft_size, hop, window)
         f2 = _frame(x, fft_size, hop) * window
-        t_re, t_im = rdft(f2, fft_size)
+        t_re, t_im = rdft(f2, mats)
         if t_re.shape[-2] != S.shape[-2]:
             t_re = _fit_frames(t_re, S.shape[-2])
             t_im = _fit_frames(t_im, S.shape[-2])
@@ -278,7 +287,7 @@ def griffin_lim(magnitude, fft_size, hop, window, *, n_iters=60,
     z = jnp.zeros_like(S)
     (c_re, c_im, _, _), _ = lax.scan(body, (S, z, z, z), None,
                                      length=n_iters)
-    frames = irdft(c_re, c_im, fft_size) * window
+    frames = irdft(c_re, c_im, mats) * window
     return _ola_normalized(frames, fft_size, hop, window, length=length)
 
 
