@@ -27,8 +27,8 @@ def collect(in_dir, hp):
             uid = m.group(1).replace("_t", "")
             utts.append(Utterance(
                 wav_path=wav_path, text=text, speaker_id=spk_id[uid],
-                spec_name="nikl-multi-spec-%05d.npy" % (index + 1),
-                mel_name="nikl-multi-mel-%05d.npy" % (index + 1)))
+                spec_name="nikl-multi-spec-%05d.npy" % index,
+                mel_name="nikl-multi-mel-%05d.npy" % index))
             index += 1
     return utts
 

@@ -1,0 +1,158 @@
+# coding: utf-8
+"""Dataset preprocessor adapters: corpus layout -> features + train.txt
+(reference ljspeech.py/vctk.py/jsut.py/json_meta.py contracts).
+
+Uses the native C++ DSP backend (no accelerator), exercising the full
+collect -> trim -> feature -> metadata path on tiny synthetic corpora.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+from deepvoice3_pytorch_tpu import native
+from deepvoice3_pytorch_tpu.datasets import get_preprocessor
+from deepvoice3_pytorch_tpu.dsp.audio import AudioProcessor
+from deepvoice3_pytorch_tpu.hparams import default_hparams
+
+pytestmark = pytest.mark.skipif(not native.is_available(),
+                                reason="no C++ toolchain")
+
+
+@pytest.fixture(autouse=True)
+def native_backend(monkeypatch):
+    monkeypatch.setenv("DV3_PREPROCESS_BACKEND", "native")
+
+
+def _hp(**kw):
+    hp = default_hparams()
+    for k, v in kw.items():
+        setattr(hp, k, v)
+    return hp
+
+
+def _wav(path, n=9000, f=300.0, sr=22050):
+    t = np.arange(n) / sr
+    w = (0.4 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+    os.makedirs(os.path.dirname(str(path)), exist_ok=True)
+    wavfile.write(str(path), sr, (w * 32767).astype(np.int16))
+
+
+TEXT = "This is a synthetic sentence long enough to pass the filter."
+
+
+def _check_outputs(metadata, out_dir, n, cols):
+    assert len(metadata) == n
+    for m in metadata:
+        assert len(m) == cols
+        spec = np.load(os.path.join(out_dir, m[0]))
+        mel = np.load(os.path.join(out_dir, m[1]))
+        assert spec.shape == (m[2], 513)
+        assert mel.shape == (m[2], 80)
+        assert spec.dtype == np.float32
+
+
+def test_ljspeech(tmp_path):
+    root = tmp_path / "corpus"
+    lines = []
+    for i in range(3):
+        _wav(root / "wavs" / f"LJ-{i}.wav")
+        lines.append(f"LJ-{i}|x|{TEXT}")
+    os.makedirs(root, exist_ok=True)
+    (root / "metadata.csv").write_text("\n".join(lines))
+
+    hp = _hp()
+    mod = get_preprocessor("ljspeech")
+    out = str(tmp_path / "out")
+    meta = mod.build_from_path(str(root), out, AudioProcessor(hp), hp)
+    _check_outputs(meta, out, 3, 4)
+
+
+def test_vctk_with_and_without_labels(tmp_path):
+    root = tmp_path / "vctk"
+    for spk in ("p225", "p226"):
+        for j in range(2):
+            _wav(root / "wav48" / spk / f"{spk}_{j:03d}.wav")
+            p = root / "txt" / spk / f"{spk}_{j:03d}.txt"
+            os.makedirs(p.parent, exist_ok=True)
+            p.write_text(TEXT)
+    # one HTK label file: trim to the non-pau span
+    lab = root / "lab" / "p225" / "p225_000.lab"
+    os.makedirs(lab.parent, exist_ok=True)
+    lab.write_text("0 1000000 pau\n1000000 3000000 ah\n3000000 4000000 pau\n")
+
+    hp = _hp()
+    mod = get_preprocessor("vctk")
+    out = str(tmp_path / "out")
+    meta = mod.build_from_path(str(root), out, AudioProcessor(hp), hp)
+    _check_outputs(meta, out, 4, 5)
+    speaker_ids = sorted({m[4] for m in meta})
+    assert speaker_ids == [0, 1]
+    # the labeled utterance was trimmed to < 0.2s + energy trim
+    labeled = meta[0]
+    unlabeled = meta[1]
+    assert labeled[2] < unlabeled[2]
+
+
+def test_jsut(tmp_path):
+    root = tmp_path / "jsut"
+    sub = root / "basic5000"
+    lines = []
+    for i in range(2):
+        _wav(sub / "wav" / f"BASIC_{i}.wav")
+        lines.append(f"BASIC_{i}:{TEXT}")
+    (sub / "transcript_utf8.txt").write_text("\n".join(lines))
+
+    hp = _hp(frontend="en")
+    mod = get_preprocessor("jsut")
+    out = str(tmp_path / "out")
+    meta = mod.build_from_path(str(root), out, AudioProcessor(hp), hp)
+    _check_outputs(meta, out, 2, 4)
+
+
+def test_json_meta_recognition_levels(tmp_path):
+    root = tmp_path / "js"
+    os.makedirs(root, exist_ok=True)
+    for i in range(3):
+        _wav(root / f"u{i}.wav")
+    info = {
+        str(root / "u0.wav"): TEXT,                      # aligned
+        str(root / "u1.wav"): [TEXT + " x", TEXT],       # partially aligned
+        str(root / "u2.wav"): [TEXT],                    # recognition only
+    }
+    jpath = root / "meta.json"
+    jpath.write_text(json.dumps(info))
+
+    mod = get_preprocessor("json_meta")
+    hp0 = _hp(ignore_recognition_level=0, process_only_htk_aligned=False)
+    out0 = str(tmp_path / "out0")
+    meta0 = mod.build_from_path(str(jpath), out0, AudioProcessor(hp0), hp0)
+    _check_outputs(meta0, out0, 3, 4)
+
+    hp2 = _hp(ignore_recognition_level=2, process_only_htk_aligned=False)
+    out2 = str(tmp_path / "out2")
+    meta2 = mod.build_from_path(str(jpath), out2, AudioProcessor(hp2), hp2)
+    assert len(meta2) == 1          # only the fully aligned utterance
+
+
+def test_nikl_m(tmp_path):
+    from deepvoice3_pytorch_tpu.datasets import nikl_m
+    root = tmp_path / "nikl"
+    os.makedirs(root, exist_ok=True)
+    lines = []
+    for spk in ("fv01", "fv02"):
+        for j in range(1, 3):
+            p = root / f"{spk}_t{j:02d}.wav"
+            _wav(p)
+            lines.append(f"{p}|{TEXT}")
+    (root / "speaker.mid").write_text("fv01\nfv02\n")
+    (root / "metadata.txt").write_text("\n".join(lines))
+
+    hp = _hp()
+    out = str(tmp_path / "out")
+    meta = nikl_m.build_from_path(str(root), out, AudioProcessor(hp), hp)
+    _check_outputs(meta, out, 4, 5)
+    assert sorted({m[4] for m in meta}) == [0, 1]
