@@ -80,6 +80,20 @@ def save_checkpoint(checkpoint_dir, params, opt_state, step, epoch, *,
     return path
 
 
+def save_checkpoint_file(path, params, opt_state, step, epoch):
+    """Save a whole-model checkpoint to an explicit path (used by
+    convert_checkpoint.py and tooling)."""
+    blob = {
+        "params": _to_host(params),
+        "opt_state": (_to_host(flatten_opt_state(opt_state))
+                      if opt_state is not None else None),
+        "global_step": int(step),
+        "global_epoch": int(epoch),
+    }
+    _save_blob(blob, path)
+    return path
+
+
 def flatten_opt_state(opt_state):
     """optax states are nested namedtuples; store as leaf list + treedef
     is overkill — keep the raw leaves and rebuild against a template."""
