@@ -181,6 +181,13 @@ def main():
     assert hparams.name == "deepvoice3"
     print(hparams_debug_string())
 
+    # persistent compilation cache: with length-bucketed batches the train
+    # step compiles once per bucket shape — cache them across runs
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     train_seq2seq = not args.train_postnet_only
     train_postnet = not args.train_seq2seq_only
     assert train_seq2seq or train_postnet
