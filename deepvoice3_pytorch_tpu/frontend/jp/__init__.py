@@ -1,14 +1,16 @@
 # coding: utf-8
-"""Japanese frontend: MeCab yomi mixing + katakana normalization +
-character-ordinal encoding (reference frontend/jp/__init__.py).
+"""Japanese frontend: yomi mixing + katakana normalization +
+character-ordinal encoding (reference frontend/jp/__init__.py behavior).
 
-Requires MeCab and jaconv; importing this module without them raises
-ImportError, which the frontend package turns into `jp = None` — same
-optional-dependency gating as the reference.
+Unlike the reference (which hard-imports MeCab and jaconv at module import,
+reference frontend/jp/__init__.py:4), the common path here is dependency
+free: NFKC normalization via unicodedata and hiragana->katakana as the
+U+3041..U+3096 -> U+30A1..U+30F6 codepoint shift (exactly what
+jaconv.hira2kata does). MeCab is imported lazily and only required for
+pronunciation mixing (p > 0); jaconv is used when installed.
 """
 
-import MeCab
-import jaconv
+import unicodedata
 from random import random
 
 n_vocab = 0xffff
@@ -16,6 +18,26 @@ n_vocab = 0xffff
 _eos = 1
 _pad = 0
 _tagger = None
+
+
+def hira2kata(text):
+    """ぁ(U+3041)..ゖ(U+3096) -> ァ..ヶ; everything else unchanged."""
+    try:
+        import jaconv
+        return jaconv.hira2kata(text)
+    except ImportError:
+        return "".join(chr(ord(c) + 0x60) if 0x3041 <= ord(c) <= 0x3096
+                       else c for c in text)
+
+
+def normalize(text):
+    try:
+        import jaconv
+        return jaconv.normalize(text)
+    except ImportError:
+        text = unicodedata.normalize("NFKC", text)
+        # jaconv.normalize keeps the long-vowel mark and fullwidth tilde
+        return text.replace("~", "ー").replace("−", "ー").replace("-", "ー")
 
 
 def _yomi(mecab_result):
@@ -41,6 +63,7 @@ def _mix_pronunciation(tokens, yomis, p):
 def mix_pronunciation(text, p):
     global _tagger
     if _tagger is None:
+        import MeCab
         _tagger = MeCab.Tagger("")
     tokens, yomis = _yomi(_tagger.parse(text))
     return _mix_pronunciation(tokens, yomis, p)
@@ -69,10 +92,10 @@ def text_to_sequence(text, p=0.0):
     text = text.replace("?", "？")
 
     text = normalize_delimitor(text)
-    text = jaconv.normalize(text)
+    text = normalize(text)
     if p > 0:
         text = mix_pronunciation(text, p)
-    text = jaconv.hira2kata(text)
+    text = hira2kata(text)
     text = add_punctuation(text)
 
     return [ord(c) for c in text] + [_eos]

@@ -78,6 +78,18 @@ def test_ordinals_and_currency():
     assert numbers.normalize_numbers("£5") == "five pounds"
 
 
+def test_jp_frontend():
+    from deepvoice3_pytorch_tpu.frontend import jp
+    assert jp is not None, "jp frontend should import without MeCab/jaconv"
+    seq = jp.text_to_sequence("こんにちは、世界")
+    # hiragana converted to katakana, punctuation appended, EOS last
+    text = jp.sequence_to_text(seq[:-1])
+    assert text == "コンニチハ、世界。"
+    assert seq[-1] == 1
+    assert jp.hira2kata("がぎぐ") == "ガギグ"
+    assert jp.n_vocab == 0xffff
+
+
 def test_ko_frontend():
     ko = frontend.ko
     text = "안녕하세요"
