@@ -485,6 +485,12 @@ def decoder_decode(params, cfg: DecoderConfig, encoder_out, text_positions, *,
     if fused and test_inputs is None:
         from ..ops import fused_decode as fd
 
+        if fd.vmem_bytes_estimate(params, cfg, B, Tk) > fd.VMEM_BUDGET_BYTES:
+            fused = False   # too big for VMEM residency; use the scan path
+
+    if fused and test_inputs is None:
+        from ..ops import fused_decode as fd
+
         steps = jnp.arange(1, max_steps + 1, dtype=jnp.int32)
         raw_angles = jnp.take(params["embed_query_positions"]["w"], steps,
                               axis=0)                      # (T, C) raw

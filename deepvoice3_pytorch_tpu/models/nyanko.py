@@ -306,6 +306,12 @@ def decoder_decode(params, cfg: NyankoDecoderConfig, encoder_out,
     if fused and test_inputs is None:
         from ..ops import fused_decode as fd
 
+        if fd.vmem_bytes_estimate(params, cfg, B, Tk) > fd.VMEM_BUDGET_BYTES:
+            fused = False   # too big for VMEM residency; use the scan path
+
+    if fused and test_inputs is None:
+        from ..ops import fused_decode as fd
+
         # table rows are already sinusoidal with the rate baked in;
         # the step-t query encoding is row t+1
         fpe_table = params["embed_query_positions"]["w"][1:max_steps + 1]

@@ -31,8 +31,8 @@ are precomputed outside and added before the GLU gate.
 """
 
 import math
-from functools import partial
-from typing import Optional
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -371,6 +371,26 @@ def _make_kernel(plan_pack, n_att, out_dim, state_dim, tk, min_steps,
 # ---------------------------------------------------------------------------
 # launcher
 # ---------------------------------------------------------------------------
+
+
+# Conservative per-core VMEM budget for the whole-loop kernel. v5e VMEM is
+# 128 MiB; leave headroom for output blocks, double buffering, and compiler
+# scratch. Above this the caller should use the scan path.
+VMEM_BUDGET_BYTES = 64 * 1024 * 1024
+
+
+def vmem_bytes_estimate(params, cfg, batch, tk):
+    """Rough resident-VMEM footprint of the fused kernel: folded weights +
+    projected K/V + ring buffers + a few activation blocks, all f32."""
+    plan_pack, flat = build_plan(params, cfg)
+    _, buffers, _, _, n_att, n_sp = plan_pack
+    total = sum(int(np.prod(w.shape)) for w in flat) * 4
+    # nyanko attends in `channels` dims; deepvoice3 in `embed_dim`
+    e = (cfg.channels if hasattr(cfg, "channels") else cfg.embed_dim)
+    total += n_att * 2 * batch * tk * e * 4             # keys/values
+    total += sum(batch * L * C * 4 for (L, C) in buffers)
+    total += 8 * batch * max(tk, 1024) * 4              # blocks/scratch slop
+    return total
 
 
 def fused_decode(params, cfg, projected_kv, fpe_table, mask, initial_input,
