@@ -95,6 +95,7 @@ def main():
     with open(args.text_list_file, "rb") as f:
         lines = [l.decode("utf-8").strip() for l in f if l.strip()]
 
+    html_rows = []
     for s in range(0, len(lines), args.batch_size):
         texts = lines[s:s + args.batch_size]
         spk = None if args.speaker_id is None \
@@ -118,6 +119,23 @@ def main():
             ap.save_wav(res["waveform"], dst_wav_path)
             print(idx, ": {}\n ({} chars, {} words)".format(
                 text, len(text), len(text.split())))
+            if args.output_html:
+                html_rows.append(
+                    "<figure>\n<figcaption>{}</figcaption>\n"
+                    "<audio controls src=\"{}\"></audio>\n"
+                    "<img src=\"{}\" width=\"480\">\n</figure>".format(
+                        text.replace("<", "&lt;"),
+                        basename(dst_wav_path),
+                        basename(dst_alignment_path)))
+
+    if args.output_html and html_rows:
+        html = ("<!doctype html>\n<meta charset=\"utf-8\">\n"
+                "<title>{0}</title>\n<h1>{0}</h1>\n{1}\n").format(
+                    checkpoint_name, "\n".join(html_rows))
+        html_path = join(args.dst_dir, "index.html")
+        with open(html_path, "w", encoding="utf-8") as f:
+            f.write(html)
+        print("Wrote {}".format(html_path))
 
     print("Finished! Check out {} for generated audio samples.".format(
         args.dst_dir))
