@@ -19,6 +19,11 @@ from deepvoice3_pytorch_tpu.datasets import get_preprocessor, SUPPORTED
 
 
 def write_metadata(metadata, out_dir, hp):
+    if not metadata:
+        raise SystemExit(
+            "No utterances survived preprocessing — check the corpus layout "
+            "and filters (e.g. min_text=%d drops short transcripts)."
+            % hp.min_text)
     with open(os.path.join(out_dir, 'train.txt'), 'w',
               encoding='utf-8') as f:
         for m in metadata:
