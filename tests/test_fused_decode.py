@@ -111,6 +111,26 @@ def test_fused_matches_scan_multispeaker():
         assert np.abs(a - c).max() < 2e-5, (name, np.abs(a - c).max())
 
 
+def test_vmem_estimate_and_fallback():
+    from deepvoice3_pytorch_tpu.ops import fused_decode as fd
+
+    cfg, params = _tiny()
+    est = fd.vmem_bytes_estimate(params["decoder"], cfg.decoder, 3, 12)
+    assert 0 < est < fd.VMEM_BUDGET_BYTES
+
+    # a batch far beyond VMEM must transparently take the scan path and
+    # still produce valid output (no Mosaic failure)
+    big_B = 4096
+    est_big = fd.vmem_bytes_estimate(params["decoder"], cfg.decoder,
+                                     big_B, 512)
+    assert est_big > fd.VMEM_BUDGET_BYTES
+
+    x, pos, lengths = _inputs()
+    out = model_synthesize(params, cfg, x, pos, input_lengths=lengths,
+                           max_decoder_steps=4, early_exit=False, fused=True)
+    assert np.isfinite(np.asarray(out[0])).all()
+
+
 def test_fused_under_jit():
     cfg, params = _tiny()
     x, pos, lengths = _inputs()
