@@ -136,3 +136,30 @@ def test_cli_helpers_run(tmp_path):
     import json
     d = json.load(open(out))
     assert d["name"] == "deepvoice3"
+
+
+def test_compute_timestamp_ratio(tmp_path):
+    """key_position_rate calibration over a preprocessed corpus
+    (reference compute_timestamp_ratio.py:38-54)."""
+    import numpy as np
+
+    rs = np.random.RandomState(0)
+    lines = []
+    for i in range(4):
+        T = int(rs.randint(40, 80))
+        np.save(tmp_path / f"x-mel-{i:05d}.npy",
+                rs.rand(T, 80).astype(np.float32))
+        np.save(tmp_path / f"x-spec-{i:05d}.npy",
+                rs.rand(T, 65).astype(np.float32))
+        lines.append("|".join([f"x-spec-{i:05d}.npy", f"x-mel-{i:05d}.npy",
+                               str(T), "hello world %d." % i]))
+    (tmp_path / "train.txt").write_text("\n".join(lines))
+
+    r = subprocess.run(
+        [sys.executable, join(REPO, "compute_timestamp_ratio.py"),
+         str(tmp_path), "--hparams=outputs_per_step=4,downsample_step=1"],
+        capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr
+    ratio = float(r.stdout.strip().split()[-1])
+    assert 0.1 < ratio < 10.0
