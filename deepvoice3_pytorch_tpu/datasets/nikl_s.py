@@ -18,9 +18,9 @@ def collect(in_dir, hp):
                 parts = line.strip().split("|")
                 utts.append(Utterance(
                     wav_path=parts[0], text=parts[1],
-                    spec_name="nikl-single-spec-%05d.npy" % (index + 1),
-                    mel_name="nikl-single-mel-%05d.npy" % (index + 1)))
-            index += 1
+                    spec_name="nikl-single-spec-%05d.npy" % index,
+                    mel_name="nikl-single-mel-%05d.npy" % index))
+                index += 1
     return utts
 
 

@@ -192,8 +192,7 @@ def _first_argmax(x):
     return jnp.min(jnp.where(x >= m, col, tk), axis=-1).astype(jnp.int32)
 
 
-def _make_kernel(plan_pack, n_att, out_dim, state_dim, tk, min_steps,
-                 fpe_raw):
+def _make_kernel(plan_pack, n_att, out_dim, state_dim, tk, fpe_raw):
     plan, buffers, last_idx, fc_idx, _, n_sp = plan_pack
 
     def kernel(*refs):
@@ -436,8 +435,7 @@ def fused_decode(params, cfg, projected_kv, fpe_table, mask, initial_input,
     addmask = (jnp.where(mask, MASK, 0.0).astype(f32) if mask is not None
                else jnp.zeros((B, tk), f32))
 
-    kernel = _make_kernel(plan_pack, n_att, out_dim, state_dim, tk,
-                          cfg.min_decoder_steps, fpe_raw)
+    kernel = _make_kernel(plan_pack, n_att, out_dim, state_dim, tk, fpe_raw)
 
     def full():
         return pl.BlockSpec(memory_space=pltpu.VMEM)

@@ -138,6 +138,26 @@ def test_json_meta_recognition_levels(tmp_path):
     assert len(meta2) == 1          # only the fully aligned utterance
 
 
+def test_nikl_s(tmp_path):
+    from deepvoice3_pytorch_tpu.datasets import nikl_s
+    root = tmp_path / "nikl"
+    os.makedirs(root, exist_ok=True)
+    lines = []
+    for spk in ("fv01", "fv02"):
+        for j in range(1, 3):
+            p = root / f"{spk}_t{j:02d}.wav"
+            _wav(p)
+            lines.append(f"{p}|{TEXT}")
+    (root / "speaker.sid").write_text("fv02\n")
+    (root / "metadata.txt").write_text("\n".join(lines))
+
+    hp = _hp()
+    out = str(tmp_path / "out")
+    meta = nikl_s.build_from_path(str(root), out, AudioProcessor(hp), hp)
+    _check_outputs(meta, out, 2, 4)     # only fv02's two utterances
+    assert meta[0][0] == "nikl-single-spec-00001.npy"
+
+
 def test_nikl_m(tmp_path):
     from deepvoice3_pytorch_tpu.datasets import nikl_m
     root = tmp_path / "nikl"
