@@ -9,6 +9,8 @@ reference there is no global hparams singleton dependency at import time —
 functions take an hparams-like object (anything with the audio attributes).
 """
 
+import os
+
 import numpy as np
 from scipy import signal as sp_signal
 from scipy.io import wavfile
@@ -91,8 +93,17 @@ class AudioProcessor:
             S = dsp.db_to_amp(dsp.denormalize(spec, mld) + rld)
             return S ** power
 
+        use_pallas_gl = os.environ.get("DV3_PALLAS_GL") == "1"
+
         @jax.jit
         def _gl(S, mats):
+            if use_pallas_gl and S.ndim == 3:
+                # whole-retrieval Pallas kernel: same speed, ~30x faster
+                # compile; phase solution differs immaterially at the two
+                # boundary frames (dsp/gl_pallas.py)
+                from .gl_pallas import griffin_lim_pallas
+                return griffin_lim_pallas(S, fft, hop, win,
+                                          n_iters=self.gl_iters, mats=mats)
             return dsp.griffin_lim(S, fft, hop, win, n_iters=self.gl_iters,
                                    mats=mats)
 
