@@ -35,9 +35,14 @@ def normalize(text):
         import jaconv
         return jaconv.normalize(text)
     except ImportError:
-        text = unicodedata.normalize("NFKC", text)
-        # jaconv.normalize keeps the long-vowel mark and fullwidth tilde
-        return text.replace("~", "ー").replace("−", "ー").replace("-", "ー")
+        # jaconv.normalize semantics: tildes become the long-vowel mark,
+        # dash/hyphen variants become ASCII '-' (ASCII hyphen-minus itself is
+        # left unchanged), curly quotes are straightened, then NFKC — so
+        # token ids match between hosts with and without jaconv installed.
+        text = text.replace("〜", "ー").replace("～", "ー")
+        text = text.replace("’", "'").replace("”", '"').replace("“", "``")
+        text = text.replace("―", "-").replace("‐", "-")
+        return unicodedata.normalize("NFKC", text)
 
 
 def _yomi(mecab_result):

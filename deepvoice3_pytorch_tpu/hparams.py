@@ -59,8 +59,10 @@ def default_hparams():
         use_decoder_state_for_postnet_input=True,
 
         # Data loader
-        pin_memory=True,
-        num_workers=2,
+        pin_memory=True,   # compat no-op: CUDA pinned-host-memory knob; the
+                           # TPU path has no equivalent (kept so reference
+                           # presets parse unchanged)
+        num_workers=2,     # read threads of the native C++ batch loader
 
         # Loss
         masked_loss_weight=0.5,

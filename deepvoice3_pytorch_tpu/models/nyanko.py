@@ -312,9 +312,13 @@ def decoder_decode(params, cfg: NyankoDecoderConfig, encoder_out,
     if fused and test_inputs is None:
         from ..ops import fused_decode as fd
 
-        # table rows are already sinusoidal with the rate baked in;
-        # the step-t query encoding is row t+1
-        fpe_table = params["embed_query_positions"]["w"][1:max_steps + 1]
+        # table rows are already sinusoidal with the rate baked in; the
+        # step-t query encoding is row t+1. jnp.take clamps out-of-range
+        # steps to the last table row (max_decoder_steps can exceed
+        # max_positions), matching the scan path's jnp.take semantics.
+        steps = jnp.arange(1, max_steps + 1, dtype=jnp.int32)
+        fpe_table = jnp.take(params["embed_query_positions"]["w"], steps,
+                             axis=0)
         outputs, aligns, done, dstates = fd.fused_decode(
             params, cfg, [projected_kv], fpe_table, mask, initial_input,
             max_steps)

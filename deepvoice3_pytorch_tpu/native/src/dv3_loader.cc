@@ -124,11 +124,14 @@ int dv3_load_padded_batch(const char** paths, int n_items, long max_rows,
         FILE* f = std::fopen(paths[i], "rb");
         if (!f) continue;
         const NpyInfo info = parse_header(f);
-        if (!info.ok || info.cols != cols) {
+        // A file longer than the padded buffer would be silently truncated
+        // while rows_out reported the full count; treat it as a failure so
+        // the caller falls back to the (loud) numpy collate path.
+        if (!info.ok || info.cols != cols || info.rows > max_rows - row_offset) {
           std::fclose(f);
           continue;
         }
-        const long rows = std::min(info.rows, max_rows - row_offset);
+        const long rows = info.rows;
         float* dst =
             out + (static_cast<long>(i) * max_rows + row_offset) * cols;
         const std::size_t want = static_cast<std::size_t>(rows) * cols;

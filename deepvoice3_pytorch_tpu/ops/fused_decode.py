@@ -95,7 +95,10 @@ def build_plan(params, cfg):
 
     def ring(s):
         if s.kernel_size > 1:
-            buffers.append(((s.kernel_size - 1) * s.dilation + 1,
+            # (kw-1)*dil rows hold exactly the past taps the dilated causal
+            # conv needs (the incoming frame is tap kw-1 and bypasses the
+            # buffer); row j*dil is tap j. No dead row 0.
+            buffers.append(((s.kernel_size - 1) * s.dilation,
                             s.in_channels))
             return len(buffers) - 1
         return -1
@@ -263,19 +266,20 @@ def _make_kernel(plan_pack, n_att, out_dim, state_dim, tk, fpe_raw):
                 b = w_refs[widx + 1][...]
                 inp = x
                 if buf >= 0:
-                    # taps in the shifted buffer sit at rows j*dil for
-                    # j<kw; row (kw-1)*dil == L-1 is the incoming frame.
+                    # past tap j (j<kw-1) sits at row j*dil of the shifted
+                    # buffer; the incoming frame is tap kw-1 and bypasses it.
                     # Accumulate one matmul per tap — no lane concat.
                     L = buffers[buf][0]
                     old = buf_refs[buf][...]
                     y = jnp.dot(inp, w[kw - 1],
                                 preferred_element_type=jnp.float32)
                     for j in range(kw - 1):
-                        tap = old[:, j * dil + 1, :]
+                        tap = old[:, j * dil, :]
                         y = y + jnp.dot(tap, w[j],
                                         preferred_element_type=jnp.float32)
                     y = y + b[None, :]
-                    buf_refs[buf][:, :L - 1, :] = old[:, 1:, :]
+                    if L > 1:
+                        buf_refs[buf][:, :L - 1, :] = old[:, 1:, :]
                     buf_refs[buf][:, L - 1, :] = inp
                 else:
                     y = matmul(inp, w[0], b)
@@ -296,10 +300,11 @@ def _make_kernel(plan_pack, n_att, out_dim, state_dim, tk, fpe_raw):
                     y = jnp.dot(inp, w[kw - 1],
                                 preferred_element_type=jnp.float32)
                     for j in range(kw - 1):
-                        y = y + jnp.dot(old[:, j * dil + 1, :], w[j],
+                        y = y + jnp.dot(old[:, j * dil, :], w[j],
                                         preferred_element_type=jnp.float32)
                     y = y + b[None, :]
-                    buf_refs[buf][:, :L - 1, :] = old[:, 1:, :]
+                    if L > 1:
+                        buf_refs[buf][:, :L - 1, :] = old[:, 1:, :]
                     buf_refs[buf][:, L - 1, :] = inp
                 else:
                     y = matmul(inp, w[0], b)

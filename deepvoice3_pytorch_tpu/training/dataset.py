@@ -296,7 +296,8 @@ class DataLoader:
 
     def __init__(self, dataset, sampler, r, downsample_step, *,
                  length_bucket_step=1, frame_bucket_step=1,
-                 max_positions=None, prefetch=2, use_native=True):
+                 max_positions=None, prefetch=2, use_native=True,
+                 num_workers=0):
         self.dataset = dataset
         self.sampler = sampler
         self.r = r
@@ -306,6 +307,10 @@ class DataLoader:
         self.max_positions = max_positions
         self.prefetch = prefetch
         self.use_native = use_native
+        # hparams.num_workers (reference DataLoader worker processes,
+        # reference train.py:965-968) maps to the native loader's read
+        # threads; 0 = one thread per file up to hardware concurrency.
+        self.num_workers = num_workers
 
     def _make_batch(self, idxs):
         if self.use_native and hasattr(self.dataset, "meta"):
@@ -313,7 +318,8 @@ class DataLoader:
                 self.dataset, idxs, self.r, self.downsample_step,
                 length_bucket_step=self.length_bucket_step,
                 frame_bucket_step=self.frame_bucket_step,
-                max_positions=self.max_positions)
+                max_positions=self.max_positions,
+                n_threads=self.num_workers)
             if batch is not None:
                 return batch
         items = [self.dataset[i] for i in idxs]

@@ -114,13 +114,16 @@ def save_states(global_step, writer, outputs, batch, checkpoint_dir, ap):
 def eval_model(global_step, writer, params, cfg, ap, _frontend,
                checkpoint_dir, ismultispeaker, n_speakers):
     """Synthesize fixed eval sentences (reference train.py:379-436)."""
+    # A small eval set spanning the failure modes worth listening for:
+    # numbers/abbreviations (cleaner path), long clauses (attention drift),
+    # short imperatives (early done-flag), and question intonation.
     texts = [
-        "Scientists at the CERN laboratory say they have discovered a new particle.",
-        "There's a way to measure the acute emotional intelligence that has never gone out of style.",
-        "President Trump met with other leaders at the Group of 20 conference.",
-        "Generative adversarial network or variational auto-encoder.",
-        "Please call Stella.",
-        "Some have accepted this as a miracle without any physical explanation.",
+        "The quick brown fox jumps over the lazy dog.",
+        "In 1876, Alexander Graham Bell was awarded a patent for the telephone.",
+        "Synthesis quality depends on attention staying monotonic across long, winding sentences such as this one.",
+        "Dr. Smith owes the bank twelve hundred dollars and fifty cents.",
+        "Stop right there.",
+        "Could machines ever learn to speak with genuine feeling?",
     ]
     eval_dir = join(checkpoint_dir, "eval")
     os.makedirs(eval_dir, exist_ok=True)
@@ -207,7 +210,8 @@ def main():
         downsample_step=hparams.downsample_step,
         length_bucket_step=hparams.length_bucket_step,
         frame_bucket_step=hparams.frame_bucket_step,
-        max_positions=hparams.max_positions)
+        max_positions=hparams.max_positions,
+        num_workers=hparams.num_workers)
 
     cfg, params = build_model(hparams, _frontend.n_vocab)
 
@@ -244,16 +248,17 @@ def main():
         params, opt_state if opt_state is not None
         else optimizer.init(params), jnp.int32(global_step))
 
+    # A writer is always created (reference train.py:1000-1006 does the
+    # same); --log-event-path only selects the directory.
     writer = None
-    if args.log_event_path is not None or True:
-        try:
-            from tensorboardX import SummaryWriter
-            log_path = args.log_event_path or "log/run-test%s" % (
-                datetime.now().strftime("%Y%m%d%H%M%S"))
-            writer = SummaryWriter(log_path)
-            print("TensorBoard event log path: %s" % log_path)
-        except ImportError:
-            pass
+    try:
+        from tensorboardX import SummaryWriter
+        log_path = args.log_event_path or "log/run-test%s" % (
+            datetime.now().strftime("%Y%m%d%H%M%S"))
+        writer = SummaryWriter(log_path)
+        print("TensorBoard event log path: %s" % log_path)
+    except ImportError:
+        pass
 
     rng = jax.random.PRNGKey(1234)
     ckpt_interval = hparams.checkpoint_interval
