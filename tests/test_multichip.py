@@ -1,0 +1,121 @@
+# coding: utf-8
+"""Numeric multichip equivalence on the virtual 8-device CPU mesh.
+
+The dryrun (__graft_entry__.dryrun_multichip) only proves the sharded
+program compiles and yields a finite loss; these tests pin the *numbers*:
+dp-sharded training is step-for-step equal to single-device, tp-sharded
+forward equals the replicated forward, and the combined dp x tp step
+matches single-device — so a wrong PartitionSpec that XLA silently "fixes"
+with resharding (or subtly wrong collective math) fails loudly here.
+"""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from deepvoice3_pytorch_tpu import builder as jx_builder
+from deepvoice3_pytorch_tpu.builder import model_forward
+from deepvoice3_pytorch_tpu.training import trainer
+from deepvoice3_pytorch_tpu.parallel import mesh as mesh_lib
+
+from test_training import _HP, _tiny_cfg, _tiny_batch
+
+
+def _to_host(tree):
+    return jax.tree.map(np.asarray, tree)
+
+
+def _assert_trees_close(got, want, atol, what):
+    flat_g, tdef_g = jax.tree_util.tree_flatten(got)
+    flat_w, tdef_w = jax.tree_util.tree_flatten(want)
+    assert tdef_g == tdef_w
+    for g, w in zip(flat_g, flat_w):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=atol, rtol=0, err_msg=what)
+
+
+def _train_setup(dropout=0.0):
+    hp = _HP()
+    cfg = _tiny_cfg(dropout=dropout)
+    params = jx_builder.model_init(jax.random.PRNGKey(0), cfg)
+    lc = trainer.loss_config_from_hparams(hp)
+    opt = trainer.make_optimizer(hp, trainer.make_lr_fn(hp))
+    mask = trainer.trainable_mask(params, cfg)
+    step_fn = trainer.make_train_step(cfg, lc, opt, mask)
+    return cfg, params, opt, step_fn
+
+
+def _run_steps(step_fn, opt, params, batches, place=None):
+    # train_step donates its state: give it its own copy of the params
+    params = jax.tree.map(jnp.array, params)
+    if place is not None:
+        params = place(params)
+    state = trainer.init_train_state(params, opt)
+    metrics = None
+    for i, b in enumerate(batches):
+        state, metrics = step_fn(state, b, jax.random.PRNGKey(i))
+    return _to_host(state.params), float(metrics["loss"])
+
+
+def test_dp4_training_matches_single_device():
+    """dp=4 for 5 steps: final params identical to single-device (same
+    batches, same rng) — the gradient psum must be a pure reduction."""
+    cfg, params, opt, step_fn = _train_setup()
+    batches = [jax.tree.map(lambda a: jnp.asarray(np.array(a)), _tiny_batch(B=8))
+               for _ in range(5)]
+    want, loss1 = _run_steps(step_fn, opt, params, batches)
+
+    mesh = mesh_lib.make_mesh(n_data=4, n_model=1)
+    assert dict(mesh.shape) == {"data": 4, "model": 1}
+    sharded = [mesh_lib.shard_batch(mesh, _tiny_batch(B=8))
+               for _ in range(5)]
+    got, loss2 = _run_steps(step_fn, opt, params, sharded,
+                            place=lambda p: mesh_lib.shard_params(p, mesh))
+
+    np.testing.assert_allclose(loss2, loss1, rtol=1e-6)
+    _assert_trees_close(got, want, atol=2e-6, what="dp=4 params after 5 steps")
+
+
+def test_tp2_forward_matches_replicated():
+    """Params sharded over model=2 (out-channel TP): teacher-forced forward
+    equals the replicated forward bit-for-bit-ish (atol 1e-5)."""
+    cfg = _tiny_cfg(dropout=0.0)
+    params = jx_builder.model_init(jax.random.PRNGKey(0), cfg)
+    b = _tiny_batch(B=4)
+
+    def fwd(p):
+        return model_forward(
+            p, cfg, jnp.asarray(b["x"]), jnp.asarray(b["mel"]),
+            text_positions=jnp.asarray(b["text_positions"]),
+            frame_positions=jnp.asarray(b["frame_positions"]),
+            input_lengths=jnp.asarray(b["input_lengths"]),
+            training=False)
+
+    want = _to_host(jax.jit(fwd)(params))
+
+    mesh = mesh_lib.make_mesh(n_data=4, n_model=2)
+    params_tp = mesh_lib.shard_params(params, mesh, tp=True)
+    # prove the test exercises real sharding, not a silent all-replicated tree
+    specs = jax.tree.leaves(jax.tree.map(lambda x: x.sharding.spec, params_tp))
+    assert any(mesh_lib.MODEL_AXIS in str(s) for s in specs)
+    got = _to_host(jax.jit(fwd)(params_tp))
+
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, atol=1e-5, rtol=0)
+
+
+def test_dp_tp_step_matches_single_device():
+    """One train step on the full data=4 x model=2 mesh == single device."""
+    cfg, params, opt, step_fn = _train_setup()
+    batches = [jax.tree.map(jnp.asarray, _tiny_batch(B=8))]
+    want, loss1 = _run_steps(step_fn, opt, params, batches)
+
+    mesh = mesh_lib.make_mesh(n_data=4, n_model=2)
+    sharded = [mesh_lib.shard_batch(mesh, _tiny_batch(B=8))]
+    got, loss2 = _run_steps(
+        step_fn, opt, params, sharded,
+        place=lambda p: mesh_lib.shard_params(p, mesh, tp=True))
+
+    np.testing.assert_allclose(loss2, loss1, rtol=1e-6)
+    _assert_trees_close(got, want, atol=2e-6,
+                        what="dp=4 x tp=2 params after 1 step")
