@@ -67,11 +67,13 @@ def save_checkpoint(checkpoint_dir, params, opt_state, step, epoch, *,
     else:
         suffix = "_postnet"
         payload = {"converter": params["converter"]}
+    keep_opt = save_optimizer_state and opt_state is not None
     blob = {
         "params": payload,
         "opt_state": (_to_host(flatten_opt_state(opt_state))
-                      if save_optimizer_state and opt_state is not None
-                      else None),
+                      if keep_opt else None),
+        "opt_fingerprint": (opt_state_fingerprint(opt_state)
+                            if keep_opt else None),
         "global_step": int(step),
         "global_epoch": int(epoch),
     }
@@ -87,6 +89,8 @@ def save_checkpoint_file(path, params, opt_state, step, epoch):
         "params": _to_host(params),
         "opt_state": (_to_host(flatten_opt_state(opt_state))
                       if opt_state is not None else None),
+        "opt_fingerprint": (opt_state_fingerprint(opt_state)
+                            if opt_state is not None else None),
         "global_step": int(step),
         "global_epoch": int(epoch),
     }
@@ -95,15 +99,60 @@ def save_checkpoint_file(path, params, opt_state, step, epoch):
 
 
 def flatten_opt_state(opt_state):
-    """optax states are nested namedtuples; store as leaf list + treedef
-    is overkill — keep the raw leaves and rebuild against a template."""
+    """optax states are nested namedtuples; they are stored as a leaf list
+    plus a structure fingerprint (opt_state_fingerprint) and rebuilt against
+    a template with per-leaf shape checks — a silent leaf misalignment after
+    an optax version bump or optimizer-chain change fails loudly instead."""
     return jax.tree.leaves(opt_state)
 
 
+def _structure_desc(tree):
+    """Canonical, version-stable description of an optimizer-state pytree:
+    namedtuple class names + field order, dict keys, and leaf shape/dtype.
+    Deliberately NOT str(treedef) — that format is jax-version-dependent."""
+    if isinstance(tree, dict):
+        return "{" + ",".join(
+            "%s:%s" % (k, _structure_desc(tree[k])) for k in sorted(tree)) \
+            + "}"
+    if hasattr(tree, "_fields"):  # namedtuple (optax states)
+        return type(tree).__name__ + "(" + ",".join(
+            "%s:%s" % (f, _structure_desc(getattr(tree, f)))
+            for f in tree._fields) + ")"
+    if isinstance(tree, (list, tuple)):
+        return "[" + ",".join(_structure_desc(x) for x in tree) + "]"
+    if tree is None:
+        return "None"
+    if hasattr(tree, "shape"):
+        dt = (np.dtype(tree.dtype).name if hasattr(tree, "dtype") else "?")
+        return "%s%s" % (dt, tuple(tree.shape))
+    return type(tree).__name__
+
+
+def opt_state_fingerprint(opt_state):
+    import hashlib
+    desc = _structure_desc(opt_state)
+    return hashlib.sha256(desc.encode()).hexdigest()[:16]
+
+
 def unflatten_opt_state(template, leaves):
-    treedef = jax.tree.structure(template)
-    leaves = [jnp.asarray(l) for l in leaves]
-    return jax.tree.unflatten(treedef, leaves)
+    t_leaves, treedef = jax.tree.flatten(template)
+    if len(leaves) != len(t_leaves):
+        raise ValueError(
+            "optimizer state mismatch: checkpoint has %d leaves, current "
+            "optimizer expects %d — resume with reset_optimizer=True "
+            "(--reset-optimizer) or rebuild the matching optimizer"
+            % (len(leaves), len(t_leaves)))
+    out = []
+    for i, (t, leaf) in enumerate(zip(t_leaves, leaves)):
+        arr = jnp.asarray(leaf)
+        if hasattr(t, "shape") and tuple(t.shape) != tuple(arr.shape):
+            raise ValueError(
+                "optimizer state leaf %d has shape %s, expected %s — the "
+                "checkpoint's optimizer layout does not match; resume with "
+                "reset_optimizer=True (--reset-optimizer)"
+                % (i, tuple(arr.shape), tuple(t.shape)))
+        out.append(arr.astype(t.dtype) if hasattr(t, "dtype") else arr)
+    return jax.tree.unflatten(treedef, out)
 
 
 def load_checkpoint(path, params_template, opt_state_template=None, *,
@@ -115,6 +164,14 @@ def load_checkpoint(path, params_template, opt_state_template=None, *,
     opt_state = None
     if not reset_optimizer and blob.get("opt_state") is not None \
             and opt_state_template is not None:
+        saved_fp = blob.get("opt_fingerprint")
+        if saved_fp is not None \
+                and saved_fp != opt_state_fingerprint(opt_state_template):
+            raise ValueError(
+                "optimizer state structure mismatch: the checkpoint was "
+                "saved with a different optimizer chain (e.g. weight_decay "
+                "toggled, optax version change). Resume with "
+                "reset_optimizer=True (--reset-optimizer) to discard it.")
         opt_state = unflatten_opt_state(opt_state_template,
                                         blob["opt_state"])
     return params, opt_state, blob["global_step"], blob["global_epoch"]

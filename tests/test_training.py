@@ -373,6 +373,61 @@ def test_checkpoint_halves_and_restore_parts(tmp_path):
         np.asarray(params["encoder"]["embed_tokens"]["w"]))
 
 
+def test_checkpoint_detects_optimizer_chain_change(tmp_path):
+    """Saving with Adam and resuming with Adam+weight_decay (extra chain
+    element) must fail loudly, not silently misalign leaves."""
+    hp = _HP()
+    cfg = _tiny_cfg()
+    params = jx_builder.model_init(jax.random.PRNGKey(0), cfg)
+    opt = trainer.make_optimizer(hp, trainer.make_lr_fn(hp))
+    path = ckpt.save_checkpoint(str(tmp_path), params, opt.init(params),
+                                100, 2)
+
+    hp2 = _HP()
+    hp2.weight_decay = 0.01
+    opt2 = trainer.make_optimizer(hp2, trainer.make_lr_fn(hp2))
+    with pytest.raises(ValueError, match="reset[_-]optimizer"):
+        ckpt.load_checkpoint(path, params, opt2.init(params))
+
+    # --reset-optimizer escapes: params load, optimizer state dropped
+    p2, os2, step, _ = ckpt.load_checkpoint(path, params, opt2.init(params),
+                                            reset_optimizer=True)
+    assert os2 is None and step == 100
+
+
+def test_checkpoint_detects_corrupt_opt_leaves(tmp_path):
+    """Reordered/reshaped optimizer leaves are rejected by the per-leaf
+    shape check even when the structure fingerprint is absent (old format)."""
+    hp = _HP()
+    cfg = _tiny_cfg()
+    params = jx_builder.model_init(jax.random.PRNGKey(0), cfg)
+    opt = trainer.make_optimizer(hp, trainer.make_lr_fn(hp))
+    opt_state = opt.init(params)
+
+    leaves = ckpt.flatten_opt_state(opt_state)
+    # find two differently-shaped leaves and swap them
+    by_shape = {}
+    swap = None
+    for i, leaf in enumerate(leaves):
+        shape = tuple(np.shape(leaf))
+        for j, other in by_shape.items():
+            if other != shape:
+                swap = (j, i)
+        by_shape[i] = shape
+        if swap:
+            break
+    assert swap is not None
+    i, j = swap
+    leaves[i], leaves[j] = leaves[j], leaves[i]
+    with pytest.raises(ValueError, match="shape"):
+        ckpt.unflatten_opt_state(opt_state, leaves)
+
+    # dropped leaf -> count mismatch error
+    with pytest.raises(ValueError, match="leaves"):
+        ckpt.unflatten_opt_state(opt_state,
+                                 ckpt.flatten_opt_state(opt_state)[:-1])
+
+
 def test_latest_checkpoint(tmp_path):
     cfg = _tiny_cfg()
     params = jx_builder.model_init(jax.random.PRNGKey(0), cfg)
