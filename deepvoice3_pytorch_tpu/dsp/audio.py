@@ -40,11 +40,25 @@ class AudioProcessor:
         self.rescaling_max = getattr(hp, "rescaling_max", 0.999)
         self.allow_clipping = getattr(hp, "allow_clipping_in_normalization",
                                       True)
+        # "lws" (default): causal framing + PR-normalized sqrt-Hann — the
+        # reference's lws.stft conventions (reference audio.py:31-55),
+        # validated against the committed golden model
+        # (tests/test_dsp_golden.py). "center": librosa-style centered
+        # reflect-padded framing.
+        self.stft_mode = getattr(hp, "stft_mode", "lws")
+        assert self.stft_mode in ("lws", "center"), self.stft_mode
+        # phase retrieval for inv_spectrogram: "gl" (momentum Griffin-Lim,
+        # default — measured >= LWS quality at equal iterations) or "lws"
+        # (on-device local weighted sums, dsp/lws_phase.py).
+        self.phase_retrieval = getattr(hp, "phase_retrieval", "gl")
 
         # host-side constants; device copies + jitted pipelines are built
         # lazily so CPU-only users (native-DSP preprocessing) never touch
         # the accelerator
-        self.window_np = dsp.sqrt_hann_window(self.fft_size)
+        if self.stft_mode == "lws":
+            self.window_np = dsp.lws_hann_window(self.fft_size, self.hop_size)
+        else:
+            self.window_np = dsp.sqrt_hann_window(self.fft_size)
         self.mel_filters_np = dsp.mel_basis(
             self.sample_rate, self.fft_size, self.num_mels, self.fmin,
             self.fmax)
@@ -67,14 +81,17 @@ class AudioProcessor:
         fft, hop, win = self.fft_size, self.hop_size, window
         mld, rld = float(self.min_level_db), float(self.ref_level_db)
         pre = float(self.preemphasis_coef)
+        centered = self.stft_mode == "center"
 
         @jax.jit
         def _features(y):
-            """waveform (..., T) -> (linear (..., F, n), mel (..., M, n))
-            both normalized to [0, 1], frames on the last axis transposed
-            to match the reference layout at the caller."""
+            """waveform (..., T) -> (linear (..., n, F), mel (..., n, M))
+            both normalized to [0, 1] (reference audio.py:31-51 semantics;
+            lws mode: causal framing over the tail-padded signal)."""
             e = dsp.preemphasis(y, pre)
-            D = jnp.abs(dsp.stft(e, fft, hop, win))          # (..., n, F)
+            if not centered:
+                e = dsp.lws_pad(e, fft, hop)
+            D = jnp.abs(dsp.stft(e, fft, hop, win, center=centered))
             linear = dsp.normalize(dsp.amp_to_db(D, mld) - rld, mld)
             mel_amp = jnp.einsum("mf,...nf->...nm", mel_w, D)
             mel = dsp.normalize(dsp.amp_to_db(mel_amp, mld) - rld, mld)
@@ -94,18 +111,24 @@ class AudioProcessor:
             return S ** power
 
         use_pallas_gl = os.environ.get("DV3_PALLAS_GL") == "1"
+        use_lws_phase = self.phase_retrieval == "lws"
 
         @jax.jit
         def _gl(S, mats):
+            if use_lws_phase:
+                from .lws_phase import lws_run
+                return lws_run(S, fft, hop, self.window_np,
+                               n_iters=self.gl_iters, center=centered,
+                               mats=mats)
             if use_pallas_gl and S.ndim == 3:
-                # whole-retrieval Pallas kernel: same speed, ~30x faster
-                # compile; phase solution differs immaterially at the two
-                # boundary frames (dsp/gl_pallas.py)
+                # whole-retrieval Pallas kernel: same quality, ~30x faster
+                # compile (dsp/gl_pallas.py)
                 from .gl_pallas import griffin_lim_pallas
                 return griffin_lim_pallas(S, fft, hop, win,
-                                          n_iters=self.gl_iters, mats=mats)
+                                          n_iters=self.gl_iters, mats=mats,
+                                          center=centered)
             return dsp.griffin_lim(S, fft, hop, win, n_iters=self.gl_iters,
-                                   mats=mats)
+                                   mats=mats, center=centered)
 
         @jax.jit
         def _inv_pre(wav):
@@ -118,9 +141,11 @@ class AudioProcessor:
         @jax.jit
         def _features_padded(y_padded):
             """Batched features over host-prepadded signals: caller applied
-            preemphasis + per-utterance reflect padding (fft//2 each side),
-            then zero-padded to a common length. Frames beyond each
-            utterance's true count are garbage and must be sliced off."""
+            preemphasis + per-utterance analysis padding (lws mode: none —
+            the common zero tail-pad IS the lws convention; center mode:
+            reflect pad fft//2 each side), then zero-padded to a common
+            length. Frames beyond each utterance's true count are garbage
+            and must be sliced off."""
             D = jnp.abs(dsp.stft(y_padded, fft, hop, win, center=False))
             linear = dsp.normalize(dsp.amp_to_db(D, mld) - rld, mld)
             mel_amp = jnp.einsum("mf,...nf->...nm", mel_w, D)
@@ -185,21 +210,36 @@ class AudioProcessor:
         linear, mel = self._features(jnp.asarray(y))
         return np.asarray(linear), np.asarray(mel)  # (n, F), (n, M)
 
+    def num_frames(self, length):
+        """Frame count for a length-`length` waveform under the active
+        framing convention (lws: ceil(T/hop); center: 1 + T//hop)."""
+        if self.stft_mode == "lws":
+            return dsp.lws_num_frames(length, self.hop_size)
+        return dsp.num_frames(length, self.fft_size, self.hop_size)
+
     def batch_features(self, wavs, bucket_samples=16384):
         """TPU-batched feature extraction over a list of ragged waveforms.
 
         Replaces the reference's per-utterance ProcessPoolExecutor + lws C++
-        path (ljspeech.py:25-36): host does preemphasis + reflect padding,
+        path (ljspeech.py:25-36): host does preemphasis (+ analysis padding),
         device runs one fused STFT/mel/normalize program per length bucket.
-        Returns [(linear (n_i, F), mel (n_i, M))], exact per utterance.
+        Returns [(linear (n_i, F), mel (n_i, M))], exact per utterance: in
+        lws mode the shared zero tail-pad IS the lws convention (causal
+        frames of utterance i read only its samples + trailing zeros); in
+        center mode each utterance is reflect-padded individually first.
         """
         pad = self.fft_size // 2
+        centered = self.stft_mode == "center"
         prepped, n_frames = [], []
         for w in wavs:
             e = np.asarray(w, np.float32)
             e = np.concatenate([e[:1], e[1:] - self.preemphasis_coef * e[:-1]])
-            prepped.append(np.pad(e, (pad, pad), mode="reflect"))
-            n_frames.append(1 + len(w) // self.hop_size)
+            if centered:
+                e = np.pad(e, (pad, pad), mode="reflect")
+            else:
+                e = dsp.lws_pad(e, self.fft_size, self.hop_size)
+            prepped.append(e)
+            n_frames.append(self.num_frames(len(w)))
 
         max_len = max(len(p) for p in prepped)
         max_len = ((max_len + bucket_samples - 1) // bucket_samples) \

@@ -19,10 +19,10 @@ against row-slices of the DFT matrices (no lane concat — unimplemented in
 Mosaic) -> momentum phase update. HBM traffic per item: read |S| once,
 write the waveform once.
 
-Boundary semantics: frames are taken from the raw overlap-add signal
-(its true continuation) instead of the XLA path's trim+reflect-pad — interior
-output is equivalent; the two edge frames differ immaterially for phase
-retrieval (validated in tests against the XLA path).
+Boundary semantics: frames are taken from the raw overlap-add signal on
+the analysis timeline — identical to the XLA path (stft.py:griffin_lim),
+which re-frames the same raw OLA signal; both are framing-convention
+agnostic inside the loop (validated in tests against the XLA path).
 """
 
 import numpy as np
@@ -110,8 +110,9 @@ def _make_kernel(n, fft, hop, n_bins, n_iters, momentum):
 
 def griffin_lim_pallas(magnitude, fft_size, hop, window, *, n_iters=60,
                        momentum=0.99, length=None, mats=None,
-                       interpret=None):
-    """Drop-in for dsp.griffin_lim on TPU. magnitude: (B, n, F) -> (B, T)."""
+                       interpret=None, center=True):
+    """Drop-in for dsp.griffin_lim on TPU. magnitude: (B, n, F) -> (B, T).
+    center selects the final trim only (see dsp.griffin_lim)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if mats is None:
@@ -150,7 +151,8 @@ def griffin_lim_pallas(magnitude, fft_size, hop, window, *, n_iters=60,
             dimension_semantics=("arbitrary",)),
     )(magnitude.astype(jnp.float32), *mats, win2d, norm)
 
-    pad = fft_size // 2
-    wav = out.reshape(B, nb * hop)[:, pad:]
+    wav = out.reshape(B, nb * hop)
+    if center:
+        wav = wav[:, fft_size // 2:]
     T = length if length is not None else hop * n
     return wav[:, :T]

@@ -36,6 +36,34 @@ def sqrt_hann_window(n, dtype=np.float32):
     return np.sqrt(hann_window(n, np.float64)).astype(dtype)
 
 
+def hann_window_symmetric(n, dtype=np.float64):
+    """Symmetric Hann (matches np.hanning: zeros at both endpoints)."""
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / (n - 1))) \
+        .astype(dtype)
+
+
+def lws_hann_window(n, hop, dtype=np.float32):
+    """LWS-convention analysis window: sqrt of a *symmetric* Hann, scaled
+    so the steady-state overlap-add of its square is 1 (the perfect-
+    reconstruction normalization an analysis/synthesis window pair needs
+    when both are the same window).
+
+    This models the window the reference's vocoder uses —
+    ``lws.lws(fft_size, hop_size, mode="speech")`` (reference audio.py:54-55)
+    builds a sqrt-Hann pair normalized for perfect reconstruction. The
+    absolute scale matters: features are normalized dB
+    (amp_to_db - ref_level_db), so a window scale factor shifts every
+    feature by a constant. Validated against the committed clean-room
+    golden model (dsp/reference_model.py, tests/test_dsp_golden.py).
+    """
+    a = np.sqrt(hann_window_symmetric(n, np.float64))
+    t0 = n // 2
+    k = n // hop
+    c = sum(a[t0 - j * hop] ** 2 for j in range(-k + 1, k)
+            if 0 <= t0 - j * hop < n)
+    return (a / np.sqrt(c)).astype(dtype)
+
+
 def _hz_to_mel(f):
     """Slaney mel scale (librosa htk=False default)."""
     f = np.asarray(f, dtype=np.float64)
@@ -184,10 +212,34 @@ def num_frames(length, fft_size, hop):
     return 1 + length // hop
 
 
-def istft(spec, fft_size, hop, window, length=None):
+def lws_num_frames(length, hop):
+    """Frame count of the lws-convention (causal, tail-padded) STFT:
+    ceil(length / hop) — every sample covered, no centering (matches the
+    reference vocoder's lws.stft frame count)."""
+    return -(-length // hop)
+
+
+def lws_pad(x, fft_size, hop):
+    """Zero-pad the tail so causal framing covers ceil(T/hop) frames:
+    frame i reads x[i*hop : i*hop + fft_size] (lws framing convention).
+    Works on numpy or jax arrays; T is static."""
+    T = x.shape[-1]
+    need = (lws_num_frames(T, hop) - 1) * hop + fft_size
+    if need == T:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, need - T)]
+    if isinstance(x, np.ndarray):
+        return np.pad(x, pad)
+    return jnp.pad(x, pad)
+
+
+def istft(spec, fft_size, hop, window, length=None, center=True):
     """Inverse STFT with overlap-add + squared-window COLA normalization.
 
     spec: complex (..., n_frames, fft_size//2+1) -> (..., T).
+    center=True trims the fft//2 analysis padding (centered framing);
+    center=False assumes lws-convention causal framing (output starts at
+    sample 0 of the analysis timeline).
     """
     frames = jnp.fft.irfft(spec, n=fft_size, axis=-1) * window
     y = _overlap_add(frames, fft_size, hop)
@@ -196,8 +248,8 @@ def istft(spec, fft_size, hop, window, length=None):
                            (frames.shape[-2], fft_size))
     norm = _overlap_add(wsq, fft_size, hop)
     y = y / jnp.maximum(norm, 1e-8)
-    pad = fft_size // 2
-    y = y[..., pad:]
+    if center:
+        y = y[..., fft_size // 2:]
     if length is not None:
         y = y[..., :length]
     else:
@@ -231,30 +283,35 @@ def _overlap_add(frames, fft_size, hop):
 # ---------------------------------------------------------------------------
 
 
-def _ola_normalized(frames, fft_size, hop, window, length=None):
+def _ola_raw(frames, fft_size, hop, window):
     """Overlap-add of already-windowed frames + squared-window COLA
-    normalization + center trim — the tail of istft(), shared with the
-    re/im Griffin-Lim path."""
+    normalization, WITHOUT any trim: returns the full analysis-timeline
+    signal of length (n_frames-1)*hop + fft_size. Frame i of the input
+    corresponds to samples [i*hop, i*hop + fft_size) of the output."""
     y = _overlap_add(frames, fft_size, hop)
     wsq = jnp.broadcast_to((window * window)[None, :],
                            (frames.shape[-2], fft_size))
     norm = _overlap_add(wsq, fft_size, hop)
-    y = y / jnp.maximum(norm, 1e-8)
-    pad = fft_size // 2
-    y = y[..., pad:]
-    if length is not None:
-        return y[..., :length]
-    return y[..., :hop * frames.shape[-2]]
+    return y / jnp.maximum(norm, 1e-8)
 
 
 def griffin_lim(magnitude, fft_size, hop, window, *, n_iters=60,
-                momentum=0.99, length=None, mats=None):
+                momentum=0.99, length=None, mats=None, center=True):
     """Phase retrieval from |S| via fast Griffin-Lim (Perraudin et al. 2013),
     the momentum-accelerated fixed point of the same consistency projection
-    LWS solves locally. Runs entirely on device as a lax.scan whose body is
-    a handful of MXU matmuls: the DFT/iDFT are dense matrix products (rdft/
-    irdft above) — on TPU this both compiles in ~1min (XLA's FFT lowering
-    blows up compile time when composed) and keeps the hot loop on the MXU.
+    LWS solves locally (reference audio.py:37-43's run_lws; quality
+    equivalence measured in tests/test_dsp_golden.py). Runs entirely on
+    device as a lax.scan whose body is a handful of MXU matmuls: the
+    DFT/iDFT are dense matrix products (rdft/irdft above) — on TPU this
+    both compiles in ~1min (XLA's FFT lowering blows up compile time when
+    composed) and keeps the hot loop on the MXU.
+
+    The loop re-frames the raw overlap-add signal directly on the analysis
+    timeline (no trim/re-pad), so the iteration is framing-convention
+    agnostic — identical semantics to the whole-loop Pallas kernel
+    (dsp/gl_pallas.py). `center` only selects the final trim: True drops
+    the fft//2 centered-analysis padding, False returns the lws-convention
+    causal-framing waveform (sample 0 = frame 0, tap 0).
 
     magnitude: (..., n_frames, n_freqs) non-negative.
     mats: dft_mats(fft_size) passed as runtime values — jitted callers MUST
@@ -268,13 +325,9 @@ def griffin_lim(magnitude, fft_size, hop, window, *, n_iters=60,
 
     def project(re, im):
         frames = irdft(re, im, mats) * window
-        x = _ola_normalized(frames, fft_size, hop, window)
-        f2 = _frame(x, fft_size, hop) * window
-        t_re, t_im = rdft(f2, mats)
-        if t_re.shape[-2] != S.shape[-2]:
-            t_re = _fit_frames(t_re, S.shape[-2])
-            t_im = _fit_frames(t_im, S.shape[-2])
-        return t_re, t_im
+        x = _ola_raw(frames, fft_size, hop, window)
+        f2 = _frame(x, fft_size, hop, center=False) * window
+        return rdft(f2, mats)
 
     def body(carry, _):
         c_re, c_im, tp_re, tp_im = carry
@@ -288,15 +341,11 @@ def griffin_lim(magnitude, fft_size, hop, window, *, n_iters=60,
     (c_re, c_im, _, _), _ = lax.scan(body, (S, z, z, z), None,
                                      length=n_iters)
     frames = irdft(c_re, c_im, mats) * window
-    return _ola_normalized(frames, fft_size, hop, window, length=length)
-
-
-def _fit_frames(t, n_frames):
-    cur = t.shape[-2]
-    if cur > n_frames:
-        return t[..., :n_frames, :]
-    pad = [(0, 0)] * (t.ndim - 2) + [(0, n_frames - cur), (0, 0)]
-    return jnp.pad(t, pad)
+    y = _ola_raw(frames, fft_size, hop, window)
+    if center:
+        y = y[..., fft_size // 2:]
+    T = length if length is not None else hop * S.shape[-2]
+    return y[..., :T]
 
 
 # ---------------------------------------------------------------------------

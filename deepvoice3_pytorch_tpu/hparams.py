@@ -107,7 +107,13 @@ def default_hparams():
         length_bucket_step=32,      # pad text lengths to multiples (recompile guard)
         frame_bucket_step=64,       # pad decoder lengths to multiples
         mesh_data_axis=-1,          # -1: all local devices on the data axis
-        compute_dtype="float32",    # bfloat16 for speed path
+        compute_dtype="float32",    # "bfloat16": bf16 params/activations,
+                                    # f32 softmax/loss/optimizer (trainer.py)
+        stft_mode="lws",            # "lws": reference lws.stft conventions
+                                    # (causal framing, PR-normalized
+                                    # sqrt-Hann); "center": librosa-style
+        phase_retrieval="gl",       # "gl" momentum Griffin-Lim (default) or
+                                    # "lws" on-device local weighted sums
     )
 
 

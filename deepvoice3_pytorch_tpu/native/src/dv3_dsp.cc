@@ -3,9 +3,13 @@
 // Native (C++) equivalent of the reference's lws dependency
 // (reference audio.py:9,31-55): forward features for dataset preprocessing
 // workers and phase-retrieval synthesis on hosts without an accelerator.
-// Semantics mirror deepvoice3_pytorch_tpu/dsp/stft.py exactly: sqrt-Hann
-// window, centered reflect padding, Slaney mel basis (passed in from
-// Python), momentum Griffin-Lim, squared-window COLA-normalized iSTFT.
+// Semantics mirror deepvoice3_pytorch_tpu/dsp/stft.py's lws mode exactly:
+// PR-normalized sqrt of a symmetric Hann window, causal framing with tail
+// zero-pad (frame count = ceil(T/hop)), Slaney mel basis (passed in from
+// Python), momentum Griffin-Lim over the raw overlap-add analysis timeline,
+// squared-window COLA-normalized iSTFT. Parity with the committed golden
+// model (dsp/reference_model.py) is enforced by tests/test_native.py and
+// tests/test_dsp_golden.py.
 //
 // Exposed as a plain C ABI consumed via ctypes
 // (deepvoice3_pytorch_tpu/native/__init__.py).
@@ -24,22 +28,30 @@ namespace {
 
 using cf = std::complex<float>;
 
-void sqrt_hann(std::vector<float>* w, int n) {
-  w->resize(n);
+// LWS-convention analysis window (dsp/stft.py:lws_hann_window): sqrt of a
+// symmetric Hann, scaled so the steady-state overlap-add of its square is 1.
+void lws_window(std::vector<float>* w, int n, int hop) {
+  std::vector<double> a(n);
   for (int i = 0; i < n; ++i) {
-    const double h = 0.5 - 0.5 * std::cos(2.0 * M_PI * i / n);
-    (*w)[i] = static_cast<float>(std::sqrt(h));
+    const double h = 0.5 - 0.5 * std::cos(2.0 * M_PI * i / (n - 1));
+    a[i] = std::sqrt(h);
   }
+  const int t0 = n / 2;
+  const int k = n / hop;
+  double c = 0.0;
+  for (int j = -k + 1; j < k; ++j) {
+    const long idx = t0 - static_cast<long>(j) * hop;
+    if (idx >= 0 && idx < n) c += a[idx] * a[idx];
+  }
+  const double s = 1.0 / std::sqrt(c);
+  w->resize(n);
+  for (int i = 0; i < n; ++i) (*w)[i] = static_cast<float>(a[i] * s);
 }
 
-// Centered framing with reflect padding by fft/2 on both sides
-// (dsp/stft.py:_frame). Frame f, tap k reads padded[f*hop + k].
-inline float sample_reflect(const float* y, long n, long idx, int pad) {
-  long p = idx - pad;
-  if (p < 0) p = -p;
-  if (p >= n) p = 2 * (n - 1) - p;
-  if (p < 0) p = 0;  // degenerate n == 1
-  return y[p];
+// Causal framing with tail zero-pad: frame f, tap k reads y[f*hop + k],
+// zero beyond the signal (dsp/stft.py lws mode).
+inline float sample_causal(const float* y, long n, long idx) {
+  return (idx < n) ? y[idx] : 0.f;
 }
 
 float amp_to_db(float x, float min_level) {
@@ -56,19 +68,18 @@ struct Stft {
   std::vector<float> window;
   explicit Stft(int fft_size, int hop_size)
       : fft(fft_size), hop(hop_size), n_freqs(fft_size / 2 + 1) {
-    sqrt_hann(&window, fft_size);
+    lws_window(&window, fft_size, hop_size);
   }
 
-  // magnitude STFT of a centered (reflect-padded) signal.
+  // magnitude STFT, causal framing with tail zero-pad (lws convention).
   void forward_mag(const float* y, long n, int n_frames, float* mag) const {
     std::vector<float> frame(fft);
     std::vector<cf> bins(n_freqs);
     std::vector<cf> scratch;
-    const int pad = fft / 2;
     for (int f = 0; f < n_frames; ++f) {
       const long base = static_cast<long>(f) * hop;
       for (int k = 0; k < fft; ++k)
-        frame[k] = sample_reflect(y, n, base + k, pad) * window[k];
+        frame[k] = sample_causal(y, n, base + k) * window[k];
       dv3::rfft(frame.data(), fft, bins.data(), scratch);
       for (int k = 0; k < n_freqs; ++k) mag[f * n_freqs + k] = std::abs(bins[k]);
     }
@@ -112,10 +123,11 @@ struct Stft {
 
 extern "C" {
 
-// Frame count of the centered STFT (dsp/stft.py:num_frames).
+// Frame count of the lws-convention STFT: ceil(T/hop)
+// (dsp/stft.py:lws_num_frames).
 int dv3_num_frames(long length, int fft, int hop) {
   (void)fft;
-  return 1 + static_cast<int>(length / hop);
+  return static_cast<int>((length + hop - 1) / hop);
 }
 
 // wav (n) -> normalized linear (n_frames, fft/2+1) + mel (n_frames, n_mels).
@@ -179,25 +191,17 @@ void dv3_inv_spectrogram(const float* spec, int n_frames, int fft, int hop,
   std::vector<cf> c(NF), t(NF), t_prev(NF, cf(0.f, 0.f));
   for (long i = 0; i < NF; ++i) c[i] = cf(S[i], 0.f);
   std::vector<float> padded;
-  const int pad = fft / 2;
   for (int it = 0; it < n_iters; ++it) {
     stft.inverse(c.data(), n_frames, &padded);
-    // re-STFT the unpadded-equivalent signal: the device path trims
-    // fft/2 then re-frames with reflect pad; operating on the padded
-    // buffer directly with offset pad reproduces interior frames and
-    // approximates edges identically to the XLA path's trim+repad.
-    std::vector<float> sig(padded.begin() + pad, padded.end());
-    const long sig_len = static_cast<long>(sig.size());
-    long trimmed = static_cast<long>(n_frames) * hop;
-    if (trimmed > sig_len) trimmed = sig_len;
+    // re-frame the raw overlap-add signal directly on the analysis
+    // timeline (frame f = padded[f*hop : f*hop+fft]) — identical
+    // semantics to dsp/stft.py:griffin_lim and the Pallas kernel.
     {
       std::vector<float> frame(fft);
       std::vector<cf> scratch;
       for (int f = 0; f < n_frames; ++f) {
-        const long base = static_cast<long>(f) * hop;
-        for (int k = 0; k < fft; ++k)
-          frame[k] = sample_reflect(sig.data(), trimmed, base + k, pad) *
-                     stft.window[k];
+        const float* base = padded.data() + static_cast<long>(f) * hop;
+        for (int k = 0; k < fft; ++k) frame[k] = base[k] * stft.window[k];
         dv3::rfft(frame.data(), fft, t.data() + static_cast<long>(f) * F,
                   scratch);
       }
@@ -212,10 +216,12 @@ void dv3_inv_spectrogram(const float* spec, int n_frames, int fft, int hop,
   }
 
   stft.inverse(c.data(), n_frames, &padded);
+  // lws-convention trim: the waveform starts at sample 0 of the analysis
+  // timeline (no centering offset).
   const long out_len = static_cast<long>(n_frames) * hop;
   std::vector<float> wav(out_len, 0.f);
-  const long avail = static_cast<long>(padded.size()) - pad;
-  for (long i = 0; i < out_len && i < avail; ++i) wav[i] = padded[pad + i];
+  const long avail = static_cast<long>(padded.size());
+  for (long i = 0; i < out_len && i < avail; ++i) wav[i] = padded[i];
 
   // inverse preemphasis: y[t] = x[t] + coef * y[t-1]
   float prev = 0.f;
