@@ -169,11 +169,30 @@ def compute_losses(outputs, batch, lc: LossConfig):
     return loss, metrics
 
 
-def make_train_step(cfg: TTSModelConfig, lc: LossConfig, optimizer, mask):
+def make_train_step(cfg: TTSModelConfig, lc: LossConfig, optimizer, mask,
+                    compute_dtype=jnp.float32):
     """Build the jitted train step. Call under a mesh with sharded batch for
-    data parallelism; XLA inserts the gradient all-reduce."""
+    data parallelism; XLA inserts the gradient all-reduce.
+
+    compute_dtype selects the mixed-precision speed path (hparams
+    compute_dtype="bfloat16"): master params, losses, and Adam moments stay
+    float32; the forward/backward runs with bf16 params and activations
+    (the params cast happens inside the differentiated function, so
+    gradients flow back to the f32 masters; the TPU MXU accumulates bf16
+    matmuls in f32 regardless, and attention scores/softmax are computed
+    in f32 by ops/attention.py). Loss-trajectory parity vs f32 is tested
+    in tests/test_training.py::test_bf16_training_parity."""
+    compute_dtype = jnp.dtype(compute_dtype)
+
+    def _cast(tree):
+        return jax.tree.map(
+            lambda x: x.astype(compute_dtype)
+            if x.dtype == jnp.float32 else x, tree)
 
     def loss_fn(params, batch, rng):
+        if compute_dtype != jnp.float32:
+            params = _cast(params)
+            batch = dict(batch, mel=batch["mel"].astype(compute_dtype))
         if lc.train_seq2seq:
             outputs = model_forward(
                 params, cfg, batch["x"], batch["mel"],
@@ -191,6 +210,13 @@ def make_train_step(cfg: TTSModelConfig, lc: LossConfig, optimizer, mask):
                 params["converter"], cfg.converter, batch["mel"],
                 training=True, rng=rng)
             outputs = (None, linear, None, None)
+        if compute_dtype != jnp.float32:
+            # losses in f32 (targets in the batch are untouched f32)
+            outputs = jax.tree.map(
+                lambda x: x.astype(jnp.float32)
+                if x is not None and x.dtype == compute_dtype else x,
+                outputs, is_leaf=lambda x: x is None)
+            batch = dict(batch, mel=batch["mel"].astype(jnp.float32))
         return compute_losses(outputs, batch, lc)
 
     @partial(jax.jit, donate_argnums=(0,))

@@ -201,6 +201,39 @@ def test_train_step_sharded_data_parallel():
                                float(metrics2["loss"]), rtol=1e-5)
 
 
+def test_bf16_training_parity():
+    """compute_dtype='bfloat16' (hparams.py speed path): master params and
+    optimizer state stay f32, loss trajectory tracks the f32 run."""
+    hp = _HP()
+    cfg = _tiny_cfg(dropout=0.0)
+    lc = trainer.loss_config_from_hparams(hp)
+    opt = trainer.make_optimizer(hp, trainer.make_lr_fn(hp))
+    batch = jax.tree.map(jnp.asarray, _tiny_batch())
+
+    traces = {}
+    for dtype in ("float32", "bfloat16"):
+        params = jx_builder.model_init(jax.random.PRNGKey(0), cfg)
+        mask = trainer.trainable_mask(params, cfg)
+        step_fn = trainer.make_train_step(cfg, lc, opt, mask,
+                                          compute_dtype=dtype)
+        state = trainer.init_train_state(params, opt)
+        losses_seen = []
+        for i in range(30):
+            state, metrics = step_fn(state, batch, jax.random.PRNGKey(i))
+            losses_seen.append(float(metrics["loss"]))
+        traces[dtype] = losses_seen
+        # masters stay f32 regardless of compute dtype
+        assert all(x.dtype == jnp.float32
+                   for x in jax.tree.leaves(state.params))
+
+    f32, bf16 = np.asarray(traces["float32"]), np.asarray(traces["bfloat16"])
+    assert np.isfinite(bf16).all()
+    # same trajectory within bf16 resolution: every step close in relative
+    # terms, and the same overall descent
+    np.testing.assert_allclose(bf16, f32, rtol=0.05)
+    assert bf16[-5:].mean() < bf16[:5].mean()
+
+
 def test_trainable_mask_freezes_positions():
     cfg = _tiny_cfg()
     params = jx_builder.model_init(jax.random.PRNGKey(0), cfg)

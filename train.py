@@ -243,7 +243,9 @@ def main():
     print("Mesh: %s (data=%d)" % (mesh.shape, n_data))
     params = mesh_lib.shard_params(params, mesh)
 
-    step_fn = trainer.make_train_step(cfg, lc, optimizer, mask)
+    step_fn = trainer.make_train_step(
+        cfg, lc, optimizer, mask,
+        compute_dtype=getattr(hparams, "compute_dtype", "float32"))
     state = trainer.TrainState(
         params, opt_state if opt_state is not None
         else optimizer.init(params), jnp.int32(global_step))
