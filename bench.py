@@ -1,15 +1,21 @@
 #!/usr/bin/env python
 # coding: utf-8
-"""Headline benchmark: batched LJSpeech-style synthesis throughput.
+"""Headline benchmark: batched LJSpeech-style synthesis throughput,
+plus training throughput.
 
-Measures the full text->waveform pipeline on one chip — autoregressive
+Measures (a) the full text->waveform pipeline on one chip — autoregressive
 decode (lax.while_loop over ring buffers), converter, and on-device
 Griffin-Lim — at batch=32, the BASELINE.json north-star workload
-("≥20x real-time batched synthesis incl. Griffin-Lim, 1x TPU v5e chip").
+("≥20x real-time batched synthesis incl. Griffin-Lim, 1x TPU v5e chip");
+and (b) the jitted train step (forward + all losses + backward + clip +
+Adam) at the LJSpeech preset, batch 16 and 32, reporting steps/s,
+linear-frames/s, and an MFU estimate from XLA's own cost analysis.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is measured RTF / 20 (the reference publishes no numbers; 20x
-real-time is the north-star bar, so >1.0 beats the target).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
+The headline value is synthesis RTF; vs_baseline is RTF / 20 (the
+reference publishes no numbers; 20x real-time is the north-star bar, so
+>1.0 beats the target). Training metrics live under "extras". Set
+DV3_BENCH_TRAIN=0 to skip the training section.
 """
 
 import json
@@ -138,13 +144,100 @@ def main():
     audio_seconds = B * seconds_per_utt
     rtf = audio_seconds / wall
 
+    extras = {}
+    if os.environ.get("DV3_BENCH_TRAIN", "1") != "0":
+        extras["training"] = bench_training(hp, en.n_vocab)
+
     print(json.dumps({
         "metric": "batched_synthesis_rtf_b32_incl_griffinlim",
         "value": round(rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 20.0, 3),
+        "extras": extras,
     }))
     return 0
+
+
+def bench_training(hp, n_vocab, n_steps=20):
+    """Train-step throughput at LJSpeech-preset shapes.
+
+    Shapes model a typical bucketed LJSpeech batch: 512 linear frames
+    (~5.9 s audio), downsample_step 4, r = outputs_per_step. Synthetic
+    data — throughput depends only on shapes. Reproduces (and replaces)
+    the previously-unreproducible BASELINE.md training row.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from deepvoice3_pytorch_tpu.model_builder import build_model
+    from deepvoice3_pytorch_tpu.training import trainer
+
+    cfg, params = build_model(hp, n_vocab)
+    lc = trainer.loss_config_from_hparams(hp)
+    opt = trainer.make_optimizer(hp, trainer.make_lr_fn(hp))
+    mask = trainer.trainable_mask(params, cfg)
+    step_fns = {
+        "float32": trainer.make_train_step(cfg, lc, opt, mask),
+        "bfloat16": trainer.make_train_step(cfg, lc, opt, mask,
+                                            compute_dtype="bfloat16"),
+    }
+
+    r, ds = cfg.r, hp.downsample_step
+    T_lin, T_text = 512, 128
+    T_mel = T_lin // ds
+    T_dec = T_mel // r
+    lin_dim = hp.fft_size // 2 + 1
+
+    out = {"shapes": {"T_lin": T_lin, "T_text": T_text, "r": r,
+                      "downsample_step": ds}}
+    rs = np.random.RandomState(0)
+    for B, dtype in ((16, "float32"), (32, "float32"), (32, "bfloat16")):
+        step_fn = step_fns[dtype]
+        batch = {
+            "x": rs.randint(1, n_vocab, (B, T_text)).astype(np.int32),
+            "input_lengths": np.full((B,), T_text, np.int32),
+            "mel": rs.rand(B, T_mel, hp.num_mels).astype(np.float32),
+            "y": rs.rand(B, T_lin, lin_dim).astype(np.float32),
+            "text_positions": np.tile(np.arange(1, T_text + 1),
+                                      (B, 1)).astype(np.int32),
+            "frame_positions": np.tile(np.arange(1, T_dec + 1),
+                                       (B, 1)).astype(np.int32),
+            "done": np.zeros((B, T_dec, 1), np.float32),
+            "target_lengths": np.full((B,), T_lin, np.int32),
+        }
+        batch = jax.tree.map(jnp.asarray, batch)
+        # fresh param copies: the step donates its state buffers
+        state = trainer.init_train_state(
+            jax.tree.map(jnp.copy, params), opt)
+        rng = jax.random.PRNGKey(0)
+
+        compiled = step_fn.lower(state, batch, rng).compile()
+        try:
+            flops = float(compiled.cost_analysis()["flops"])
+        except Exception:
+            flops = float("nan")
+
+        state, metrics = compiled(state, batch, rng)
+        jax.block_until_ready(state.params)
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            state, metrics = compiled(state, batch, rng)
+        # materializing fetch as the fence (see synthesis timing note)
+        float(metrics["loss"])
+        wall = time.perf_counter() - t0
+
+        steps_per_s = n_steps / wall
+        # v5e peak: 197 TFLOP/s bf16 (f32 is lower; MFU vs bf16 peak is
+        # the conservative convention)
+        mfu = steps_per_s * flops / 197e12 if np.isfinite(flops) else None
+        out["batch_%d_%s" % (B, dtype)] = {
+            "steps_per_s": round(steps_per_s, 2),
+            "ms_per_step": round(1000.0 / steps_per_s, 2),
+            "linear_frames_per_s": round(steps_per_s * B * T_lin),
+            "flops_per_step": flops,
+            "mfu_vs_bf16_peak": round(mfu, 4) if mfu is not None else None,
+        }
+    return out
 
 
 if __name__ == "__main__":
