@@ -158,6 +158,47 @@ def test_nikl_s(tmp_path):
     assert meta[0][0] == "nikl-single-spec-00001.npy"
 
 
+def test_nikl_prepare_metafile(tmp_path):
+    """nikl_preprocess/prepare_metafile.py produces exactly the inputs the
+    nikl_m / nikl_s adapters consume (reference
+    nikl_preprocess/prepare_metafile.py:1-71 contract)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "prepare_metafile",
+        os.path.join(os.path.dirname(__file__), "..", "nikl_preprocess",
+                     "prepare_metafile.py"))
+    pm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pm)
+
+    root = tmp_path / "nikl"
+    for spk in ("fv01", "fv02"):
+        os.makedirs(root / spk, exist_ok=True)
+        for j in (1, 2):
+            _wav(root / spk / f"{spk}_t01_s{j:02d}.wav")
+    # excluded material must not appear
+    os.makedirs(root / "Bad", exist_ok=True)
+    _wav(root / "Bad" / "fv09_t01_s01.wav")
+    (root / "trans.txt").write_text(
+        "t01_s01 first sentence\nt01_s02 second sentence\n")
+
+    meta_path, n, speakers = pm.prepare(str(root), str(root / "trans.txt"))
+    assert n == 4 and speakers == ["fv01", "fv02"]
+    lines = open(meta_path).read().splitlines()
+    assert len(lines) == 4
+    assert all("|" in ln and "Bad" not in ln for ln in lines)
+    assert lines[0].endswith("|first sentence")
+    assert (root / "speaker.sid").read_text() == "fv01\n"
+    assert (root / "speaker.mid").read_text() == "fv01\nfv02\n"
+
+    # the produced files feed the dataset adapters directly
+    from deepvoice3_pytorch_tpu.datasets import nikl_m, nikl_s
+    hp = _hp()
+    utts_m = nikl_m.collect(str(root), hp)
+    assert len(utts_m) == 4 and {u.speaker_id for u in utts_m} == {0, 1}
+    utts_s = nikl_s.collect(str(root), hp)
+    assert len(utts_s) == 2            # fv01 only
+
+
 def test_nikl_m(tmp_path):
     from deepvoice3_pytorch_tpu.datasets import nikl_m
     root = tmp_path / "nikl"
