@@ -117,6 +117,10 @@ def main():
                                hparams.builder,
                                basename(args.checkpoint)))
             ap.save_wav(res["waveform"], dst_wav_path)
+            # caption sidecar consumed by docs/build_gallery.py
+            with open(join(args.dst_dir, name + ".txt"), "w",
+                      encoding="utf-8") as f:
+                f.write(text + "\n")
             print(idx, ": {}\n ({} chars, {} words)".format(
                 text, len(text), len(text.split())))
             if args.output_html:

@@ -163,3 +163,55 @@ def test_compute_timestamp_ratio(tmp_path):
     assert r.returncode == 0, r.stderr
     ratio = float(r.stdout.strip().split()[-1])
     assert 0.1 < ratio < 10.0
+
+
+def test_synthesis_cli_and_gallery(tmp_path):
+    """synthesis.py CLI (reference synthesis.py:85-168 surface): loads a
+    checkpoint, writes wav + alignment png + caption txt per line and an
+    --output-html page; docs/build_gallery.py then builds a static site
+    from the same outputs (reference docs/ gallery equivalent)."""
+    from deepvoice3_pytorch_tpu.hparams import default_hparams
+    from deepvoice3_pytorch_tpu.model_builder import build_model
+    from deepvoice3_pytorch_tpu.frontend import en
+    from deepvoice3_pytorch_tpu.training import checkpoint as ckpt
+
+    hp_str = ("text_embed_dim=32,encoder_channels=32,decoder_channels=32,"
+              "converter_channels=32,fft_size=256,hop_size=64,"
+              "max_decoder_steps=12,griffin_lim_iters=2,max_positions=128")
+    hp = default_hparams()
+    hp.parse(hp_str)
+    cfg, params = build_model(hp, en.n_vocab)
+    ck = tmp_path / "checkpoint_step000000010.npz"
+    ckpt.save_checkpoint_file(str(ck), params, None, 10, 1)
+
+    text_list = tmp_path / "sentences.txt"
+    text_list.write_text("hello world.\nanother test.\n")
+    dst = tmp_path / "out"
+
+    r = subprocess.run(
+        [sys.executable, join(REPO, "synthesis.py"), str(ck),
+         str(text_list), str(dst), "--hparams=" + hp_str,
+         "--max-decoder-steps=12", "--output-html"],
+        capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr
+
+    wavs = sorted(p for p in os.listdir(dst) if p.endswith(".wav"))
+    assert len(wavs) == 2
+    stem = wavs[0][:-4]
+    assert os.path.exists(join(dst, stem + "_alignment.png"))
+    cap = open(join(dst, stem + ".txt"), encoding="utf-8").read().strip()
+    assert cap == "hello world."
+    html_text = open(join(dst, "index.html"), encoding="utf-8").read()
+    assert html_text.count("<audio") == 2
+
+    # gallery site from the same outputs
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "build_gallery", join(REPO, "docs", "build_gallery.py"))
+    gal = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gal)
+    site = tmp_path / "site"
+    gal.build(str(site), [("Tiny model", str(dst))])
+    page = open(site / "index.html", encoding="utf-8").read()
+    assert page.count("<audio") == 2 and "hello world." in page
