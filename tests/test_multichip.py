@@ -119,3 +119,42 @@ def test_dp_tp_step_matches_single_device():
     np.testing.assert_allclose(loss2, loss1, rtol=1e-6)
     _assert_trees_close(got, want, atol=2e-6,
                         what="dp=4 x tp=2 params after 1 step")
+
+
+def test_checkpoint_resume_under_mesh(tmp_path):
+    """Exact checkpoint/resume with dp-sharded state: 2 sharded steps ->
+    save (host-gather) -> restore + reshard -> 3 more steps == 5
+    uninterrupted sharded steps (params and optimizer state both survive
+    the round trip; reference resume semantics, train.py:852-867)."""
+    from deepvoice3_pytorch_tpu.training import checkpoint as ckpt
+
+    cfg, params, opt, step_fn = _train_setup()
+    mesh = mesh_lib.make_mesh(n_data=4, n_model=1)
+    batches = [mesh_lib.shard_batch(mesh, _tiny_batch(B=8))
+               for _ in range(5)]
+
+    # uninterrupted 5 steps
+    want, _ = _run_steps(step_fn, opt, params, batches,
+                         place=lambda p: mesh_lib.shard_params(p, mesh))
+
+    # 2 steps -> checkpoint -> resume -> 3 steps
+    p0 = mesh_lib.shard_params(jax.tree.map(jnp.array, params), mesh)
+    state = trainer.init_train_state(p0, opt)
+    for i in range(2):
+        state, _ = step_fn(state, batches[i], jax.random.PRNGKey(i))
+    path = ckpt.save_checkpoint(str(tmp_path), state.params,
+                                state.opt_state, 2, 0)
+
+    template = jx_builder.model_init(jax.random.PRNGKey(1), cfg)
+    opt_template = opt.init(template)
+    loaded, opt_loaded, step, _ = ckpt.load_checkpoint(
+        path, template, opt_template)
+    assert step == 2
+    state = trainer.TrainState(
+        mesh_lib.shard_params(jax.tree.map(jnp.asarray, loaded), mesh),
+        jax.tree.map(jnp.asarray, opt_loaded), jnp.int32(step))
+    for i in range(2, 5):
+        state, _ = step_fn(state, batches[i], jax.random.PRNGKey(i))
+
+    _assert_trees_close(_to_host(state.params), want, atol=2e-6,
+                        what="resume-under-mesh params after 5 steps")
