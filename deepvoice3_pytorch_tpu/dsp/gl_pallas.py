@@ -148,7 +148,11 @@ def griffin_lim_pallas(magnitude, fft_size, hop, window, *, n_iters=60,
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            # the per-item working set (4 spectra + OLA buffer + DFT mats)
+            # crosses Mosaic's default 16 MB scoped-vmem limit at LJSpeech
+            # bench shapes (n=600 -> 16.02 MB); v5e has 128 MB VMEM
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(magnitude.astype(jnp.float32), *mats, win2d, norm)
 
     wav = out.reshape(B, nb * hop)
