@@ -122,7 +122,8 @@ class AudioProcessor:
                                mats=mats)
             if use_pallas_gl and S.ndim == 3:
                 # whole-retrieval Pallas kernel: same quality, ~30x faster
-                # compile (dsp/gl_pallas.py)
+                # compile but ~5x slower runtime at batch-32 shapes
+                # (measured; see dsp/gl_pallas.py header) — opt-in only
                 from .gl_pallas import griffin_lim_pallas
                 return griffin_lim_pallas(S, fft, hop, win,
                                           n_iters=self.gl_iters, mats=mats,

@@ -1,11 +1,17 @@
 # coding: utf-8
 """Griffin-Lim as a single Pallas TPU kernel.
 
-The XLA-scan Griffin-Lim (stft.py:griffin_lim) carries four
-(B, n_frames, n_bins) f32 arrays through HBM every iteration — at batch-32
-LJSpeech shapes that is ~0.5 GB of HBM traffic per iteration and the loop is
-bandwidth-bound, not MXU-bound. This kernel runs the whole 60-iteration
-phase retrieval with everything VMEM-resident per batch item:
+Runs the whole phase retrieval with everything VMEM-resident per batch
+item. MEASURED VERDICT (v5e, batch-32 LJSpeech shapes, properly fenced):
+this kernel is ~5x SLOWER at runtime than the XLA-scan path
+(483 ms vs 88 ms per batch at 60 iterations) — the (B,) grid runs items
+across just two megacores with per-item (600x513)@(513x1024) matmuls,
+while XLA batches all 32 items into large GEMMs. Its remaining advantage
+is compile time (~30x faster than the scan's XLA optimization at these
+shapes), so it stays an opt-in (DV3_PALLAS_GL=1) for compile-latency-
+sensitive uses; the XLA path is the default and the benchmarked one.
+
+Layout:
 
   grid = (B,) — one item per grid step (parallel across megacores);
   scratch: spectrum re/im + previous-projection re/im (n, F), the
