@@ -16,6 +16,7 @@ from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from os.path import exists, join
 from typing import List, Optional
+from warnings import warn
 
 import numpy as np
 
@@ -123,6 +124,15 @@ def process_utterances(utts: List[Utterance], out_dir, ap, hp, prefix, *,
     with speaker_id (reference contract, preprocess.py:28-30).
     """
     backend = backend or os.environ.get("DV3_PREPROCESS_BACKEND", "device")
+    if backend == "native" and ap.stft_mode != "lws":
+        # dv3_dsp.cc hardcodes the lws conventions (PR-normalized symmetric
+        # sqrt-Hann, causal ceil(T/hop) framing); silently extracting
+        # center-mode corpora with it would mismatch the device/synthesis
+        # path, so route those through AudioProcessor instead.
+        warn("native preprocessing backend only implements stft_mode='lws'; "
+             "falling back to the device backend for stft_mode=%r"
+             % ap.stft_mode)
+        backend = "device"
     os.makedirs(out_dir, exist_ok=True)
     metadata = [None] * len(utts)
 

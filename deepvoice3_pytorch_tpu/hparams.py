@@ -62,7 +62,12 @@ def default_hparams():
         pin_memory=True,   # compat no-op: CUDA pinned-host-memory knob; the
                            # TPU path has no equivalent (kept so reference
                            # presets parse unchanged)
-        num_workers=2,     # read threads of the native C++ batch loader
+        num_workers=2,     # compat no-op: torch DataLoader worker *processes*
+                           # (reference train.py:965-968). The native C++
+                           # batch loader instead reads one file per thread up
+                           # to hardware concurrency (DataLoader num_workers=0
+                           # default); mapping this knob onto read threads
+                           # would throttle I/O to 2 threads per batch.
 
         # Loss
         masked_loss_weight=0.5,

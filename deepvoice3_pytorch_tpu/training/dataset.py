@@ -307,9 +307,11 @@ class DataLoader:
         self.max_positions = max_positions
         self.prefetch = prefetch
         self.use_native = use_native
-        # hparams.num_workers (reference DataLoader worker processes,
-        # reference train.py:965-968) maps to the native loader's read
-        # threads; 0 = one thread per file up to hardware concurrency.
+        # Native-loader read threads; 0 (default) = one thread per file up
+        # to hardware concurrency. Deliberately NOT wired to
+        # hparams.num_workers: that knob counts reference DataLoader worker
+        # *processes* (reference train.py:965-968) and its default of 2
+        # would throttle batch I/O.
         self.num_workers = num_workers
 
     def _make_batch(self, idxs):

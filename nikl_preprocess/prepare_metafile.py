@@ -39,17 +39,17 @@ def load_transcriptions(trans_file):
 
 
 def find_wavs(corpus_dir):
-    """All .wav files under corpus_dir, excluding Bad/Non/Invalid paths,
-    sorted for determinism."""
+    """All .wav files under corpus_dir, excluding paths whose corpus-relative
+    components contain Bad/Non/Invalid, sorted for determinism. The filter is
+    applied only below corpus_dir — a corpus rooted at e.g.
+    /data/NonCommercial/NIKL must not exclude everything."""
     out = []
     for root, dirs, files in os.walk(corpus_dir):
         dirs[:] = sorted(d for d in dirs
                          if not any(x in d for x in EXCLUDE))
         for name in sorted(files):
-            if name.endswith(".wav"):
-                path = os.path.join(root, name)
-                if not any(x in path for x in EXCLUDE):
-                    out.append(path)
+            if name.endswith(".wav") and not any(x in name for x in EXCLUDE):
+                out.append(os.path.join(root, name))
     return out
 
 

@@ -71,6 +71,34 @@ def test_ljspeech(tmp_path):
     _check_outputs(meta, out, 3, 4)
 
 
+def test_center_mode_falls_back_to_device_backend(tmp_path):
+    """dv3_dsp.cc hardcodes the lws conventions; requesting the native
+    backend with stft_mode='center' must warn and produce center-convention
+    features via AudioProcessor, not silently lws-framed ones."""
+    root = tmp_path / "corpus"
+    _wav(root / "wavs" / "LJ-0.wav")
+    (root / "metadata.csv").write_text(f"LJ-0|x|{TEXT}")
+
+    hp = _hp(stft_mode="center")
+    ap = AudioProcessor(hp)
+    mod = get_preprocessor("ljspeech")
+    out = str(tmp_path / "out")
+    with pytest.warns(UserWarning, match="stft_mode"):
+        meta = mod.build_from_path(str(root), out, ap, hp)
+    assert len(meta) == 1
+    spec = np.load(os.path.join(out, meta[0][0]))
+    # center framing: n_frames = 1 + floor(T/hop) after trim — strictly more
+    # than the lws causal ceil(T/hop) framing for the same audio; verify
+    # against AudioProcessor directly instead of the frame-count heuristic
+    from deepvoice3_pytorch_tpu.datasets.common import load_and_trim
+    from deepvoice3_pytorch_tpu.datasets.ljspeech import collect
+    utt = collect(str(root), hp)[0]
+    wav = load_and_trim(ap, hp, utt)
+    (ref_lin, _), = ap.batch_features([wav])
+    np.testing.assert_allclose(spec, ref_lin.astype(np.float32),
+                               atol=1e-5, rtol=0)
+
+
 def test_vctk_with_and_without_labels(tmp_path):
     root = tmp_path / "vctk"
     for spk in ("p225", "p226"):
@@ -170,7 +198,9 @@ def test_nikl_prepare_metafile(tmp_path):
     pm = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(pm)
 
-    root = tmp_path / "nikl"
+    # the corpus root itself containing an excluded substring ("Non") must
+    # not filter anything — only corpus-relative components count
+    root = tmp_path / "NonCommercial" / "nikl"
     for spk in ("fv01", "fv02"):
         os.makedirs(root / spk, exist_ok=True)
         for j in (1, 2):
@@ -178,6 +208,7 @@ def test_nikl_prepare_metafile(tmp_path):
     # excluded material must not appear
     os.makedirs(root / "Bad", exist_ok=True)
     _wav(root / "Bad" / "fv09_t01_s01.wav")
+    _wav(root / "fv01" / "fv01_t01_s01.Bad.wav")     # excluded by filename
     (root / "trans.txt").write_text(
         "t01_s01 first sentence\nt01_s02 second sentence\n")
 
