@@ -39,20 +39,39 @@ def batch_sharding(mesh):
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def seq_sharding(mesh):
+    """Megatron-style sequence parallelism: (B, T, ...) activations shard
+    batch over 'data' AND time over 'model' (sp reuses the tp axis — the
+    same ranks that hold a weight shard hold a frame shard, so the
+    halo/all-gather collectives ride the intra-slice ICI). XLA GSPMD
+    propagates this sharding through the conv stacks (halo exchange) and
+    attention (query rows are time-sharded; keys/values stay replicated)."""
+    return NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS))
+
+
 def replicated(mesh):
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh, batch):
-    """Place a pytree of host arrays with leading batch dims on the mesh."""
-    s = batch_sharding(mesh)
+# batch keys whose axis 1 is a frame/time axis long enough to be worth
+# sequence-sharding (the big activations that seed GSPMD propagation)
+_SEQ_KEYS = ("mel", "y")
 
-    def put(x):
+
+def shard_batch(mesh, batch, *, sp: bool = False):
+    """Place a pytree of host arrays with leading batch dims on the mesh.
+
+    sp=True additionally shards the time axis of the large frame-aligned
+    arrays (mel/linear targets) over 'model' — see seq_sharding()."""
+    s = batch_sharding(mesh)
+    s_seq = seq_sharding(mesh) if sp else s
+
+    def put(k, x):
         if x is None:
             return None
-        return jax.device_put(x, s)
+        return jax.device_put(x, s_seq if k in _SEQ_KEYS else s)
 
-    return jax.tree.map(put, batch)
+    return {k: put(k, v) for k, v in batch.items()}
 
 
 # ---------------------------------------------------------------------------

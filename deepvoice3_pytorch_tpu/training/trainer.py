@@ -170,7 +170,7 @@ def compute_losses(outputs, batch, lc: LossConfig):
 
 
 def make_train_step(cfg: TTSModelConfig, lc: LossConfig, optimizer, mask,
-                    compute_dtype=jnp.float32):
+                    compute_dtype=jnp.float32, seq_sharding=None):
     """Build the jitted train step. Call under a mesh with sharded batch for
     data parallelism; XLA inserts the gradient all-reduce.
 
@@ -181,7 +181,15 @@ def make_train_step(cfg: TTSModelConfig, lc: LossConfig, optimizer, mask,
     gradients flow back to the f32 masters; the TPU MXU accumulates bf16
     matmuls in f32 regardless, and attention scores/softmax are computed
     in f32 by ops/attention.py). Loss-trajectory parity vs f32 is tested
-    in tests/test_training.py::test_bf16_training_parity."""
+    in tests/test_training.py::test_bf16_training_parity.
+
+    seq_sharding (a NamedSharding over (B, T, ...), from
+    parallel.mesh.seq_sharding) turns on sequence parallelism: the decoder
+    input and loss targets are pinned batch-over-'data' x time-over-'model',
+    and GSPMD propagates the time sharding through the conv stacks (halo
+    exchanges) and attention (time-sharded query rows). Numeric equivalence
+    with the unsharded step is pinned by
+    tests/test_multichip.py::test_sp2_step_matches_single_device."""
     compute_dtype = jnp.dtype(compute_dtype)
 
     def _cast(tree):
@@ -190,12 +198,20 @@ def make_train_step(cfg: TTSModelConfig, lc: LossConfig, optimizer, mask,
             if x.dtype == jnp.float32 else x, tree)
 
     def loss_fn(params, batch, rng):
+        # mel_in is the bf16 copy fed to the network; batch['mel'] stays the
+        # untouched f32 loss target (quantizing the target would add a bf16
+        # rounding noise floor to mel_loss).
+        mel_in = batch["mel"]
+        if seq_sharding is not None:
+            mel_in = jax.lax.with_sharding_constraint(mel_in, seq_sharding)
+            batch = dict(batch, y=jax.lax.with_sharding_constraint(
+                batch["y"], seq_sharding))
         if compute_dtype != jnp.float32:
             params = _cast(params)
-            batch = dict(batch, mel=batch["mel"].astype(compute_dtype))
+            mel_in = mel_in.astype(compute_dtype)
         if lc.train_seq2seq:
             outputs = model_forward(
-                params, cfg, batch["x"], batch["mel"],
+                params, cfg, batch["x"], mel_in,
                 speaker_ids=batch.get("speaker_ids"),
                 text_positions=batch["text_positions"],
                 frame_positions=batch["frame_positions"],
@@ -207,7 +223,7 @@ def make_train_step(cfg: TTSModelConfig, lc: LossConfig, optimizer, mask,
             # postnet-only: converter over ground-truth (downsampled) mel
             fam = cfg.family
             linear = fam.converter_apply(
-                params["converter"], cfg.converter, batch["mel"],
+                params["converter"], cfg.converter, mel_in,
                 training=True, rng=rng)
             outputs = (None, linear, None, None)
         if compute_dtype != jnp.float32:
@@ -216,7 +232,6 @@ def make_train_step(cfg: TTSModelConfig, lc: LossConfig, optimizer, mask,
                 lambda x: x.astype(jnp.float32)
                 if x is not None and x.dtype == compute_dtype else x,
                 outputs, is_leaf=lambda x: x is None)
-            batch = dict(batch, mel=batch["mel"].astype(jnp.float32))
         return compute_losses(outputs, batch, lc)
 
     @partial(jax.jit, donate_argnums=(0,))

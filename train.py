@@ -175,6 +175,11 @@ def main():
                         help="First step of the profiler trace window")
     parser.add_argument("--profile-steps", type=int, default=5,
                         help="Number of steps to trace")
+    parser.add_argument("--mesh-model", type=int, default=1,
+                        help="Devices on the 'model' mesh axis: out-channel "
+                             "tensor parallelism + sequence parallelism "
+                             "(frame axis) on those ranks; the rest of the "
+                             "devices form the data-parallel axis")
     args = parser.parse_args()
 
     if args.preset is not None:
@@ -217,8 +222,7 @@ def main():
         downsample_step=hparams.downsample_step,
         length_bucket_step=hparams.length_bucket_step,
         frame_bucket_step=hparams.frame_bucket_step,
-        max_positions=hparams.max_positions,
-        num_workers=hparams.num_workers)
+        max_positions=hparams.max_positions)
 
     cfg, params = build_model(hparams, _frontend.n_vocab)
 
@@ -244,15 +248,17 @@ def main():
     if args.load_embedding is not None:
         params = ckpt.load_embedding(args.load_embedding, params)
 
-    # data-parallel mesh over all local devices
-    mesh = mesh_lib.make_mesh()
+    # dp (x tp/sp with --mesh-model>1) mesh over all local devices
+    mesh = mesh_lib.make_mesh(n_model=args.mesh_model)
     n_data = mesh.shape[mesh_lib.DATA_AXIS]
-    print("Mesh: %s (data=%d)" % (mesh.shape, n_data))
-    params = mesh_lib.shard_params(params, mesh)
+    n_model = mesh.shape[mesh_lib.MODEL_AXIS]
+    print("Mesh: %s (data=%d, model=%d)" % (mesh.shape, n_data, n_model))
+    params = mesh_lib.shard_params(params, mesh, tp=n_model > 1)
 
     step_fn = trainer.make_train_step(
         cfg, lc, optimizer, mask,
-        compute_dtype=getattr(hparams, "compute_dtype", "float32"))
+        compute_dtype=getattr(hparams, "compute_dtype", "float32"),
+        seq_sharding=mesh_lib.seq_sharding(mesh) if n_model > 1 else None)
     state = trainer.TrainState(
         params, opt_state if opt_state is not None
         else optimizer.init(params), jnp.int32(global_step))
@@ -304,7 +310,7 @@ def main():
             for batch in loader:
                 if len(batch["x"]) % n_data != 0:
                     continue  # ragged tail batch cannot shard evenly
-                batch = mesh_lib.shard_batch(mesh, batch)
+                batch = mesh_lib.shard_batch(mesh, batch, sp=n_model > 1)
                 rng, step_rng = jax.random.split(rng)
                 tracer.maybe_start(global_step)
                 state, metrics = step_fn(state, batch, step_rng)
