@@ -30,24 +30,56 @@ def _prepare_batch(frontend_mod, texts, p=0.0, pad_to=None):
 
 def tts_batch(params, cfg, ap: AudioProcessor, frontend_mod, texts, *,
               p=0.0, speaker_ids=None, max_decoder_steps=500,
-              early_exit=True, pad_to=8, fused=None):
+              early_exit=True, pad_to=8, fused=None, mesh=None):
     """Batched text -> waveform. Returns a list of per-utterance dicts with
     waveform / mel / linear / alignment, trimmed to decoded lengths.
 
     fused routes decoding through the whole-loop Pallas kernel
     (ops/fused_decode.py); implies fixed-length decoding. Default (None):
     fused on TPU, scan elsewhere (the Pallas kernel only interprets on CPU).
-    """
+
+    mesh shards the batch over the mesh's 'data' axis (params replicated)
+    for data-parallel synthesis across chips; the batch is padded to a
+    multiple of the axis size by repeating row 0 and the pad rows dropped
+    from the results. Implies the scan/while decode path (the Pallas
+    kernel is a single-program kernel; GSPMD cannot partition it).
+    Equivalence with single-device synthesis is pinned by
+    tests/test_multichip.py::test_dp_synthesis_matches_single_device."""
     import jax
 
     if fused is None:
-        fused = jax.default_backend() == "tpu"
+        fused = mesh is None and jax.default_backend() == "tpu"
+    assert not (fused and mesh is not None), \
+        "fused decode cannot be mesh-sharded; use fused=False with mesh"
     x, pos, lengths = _prepare_batch(frontend_mod, texts, p, pad_to)
     spk = None if speaker_ids is None else jnp.asarray(speaker_ids)
 
+    n_pad_rows = 0
+    if mesh is not None:
+        from .parallel import mesh as mesh_lib
+
+        n_data = mesh.shape[mesh_lib.DATA_AXIS]
+        n_pad_rows = (-x.shape[0]) % n_data
+        if n_pad_rows:
+            x, pos, lengths = (np.concatenate(
+                [a, np.repeat(a[:1], n_pad_rows, axis=0)])
+                for a in (x, pos, lengths))
+            if spk is not None:
+                spk = jnp.concatenate(
+                    [spk, jnp.repeat(spk[:1], n_pad_rows, axis=0)])
+        bs = mesh_lib.batch_sharding(mesh)
+        x, pos, lengths = (jax.device_put(jnp.asarray(a), bs)
+                           for a in (x, pos, lengths))
+        if spk is not None:
+            spk = jax.device_put(spk, bs)
+        params = jax.device_put(params, mesh_lib.replicated(mesh))
+    else:
+        x, pos, lengths = jnp.asarray(x), jnp.asarray(pos), \
+            jnp.asarray(lengths)
+
     mel, linear, align, done, dec_lengths = model_synthesize(
-        params, cfg, jnp.asarray(x), jnp.asarray(pos), speaker_ids=spk,
-        input_lengths=jnp.asarray(lengths),
+        params, cfg, x, pos, speaker_ids=spk,
+        input_lengths=lengths,
         max_decoder_steps=max_decoder_steps,
         early_exit=early_exit and not fused, fused=fused)
 

@@ -67,6 +67,10 @@ def main():
     parser.add_argument("--fused", action="store_true", default=None,
                         help="decode with the whole-loop Pallas kernel "
                              "(default: auto — on for TPU)")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard each batch over all visible chips "
+                             "(params replicated); implies the scan decode "
+                             "path instead of --fused")
     parser.add_argument("--output-html", action="store_true")
     args = parser.parse_args()
 
@@ -92,6 +96,12 @@ def main():
     ap = AudioProcessor(hparams)
     os.makedirs(args.dst_dir, exist_ok=True)
 
+    mesh = None
+    if args.data_parallel:
+        from deepvoice3_pytorch_tpu.parallel import mesh as mesh_lib
+        mesh = mesh_lib.make_mesh(n_model=1)
+        print("Data-parallel synthesis over mesh %s" % dict(mesh.shape))
+
     with open(args.text_list_file, "rb") as f:
         lines = [l.decode("utf-8").strip() for l in f if l.strip()]
 
@@ -104,7 +114,8 @@ def main():
                             p=args.replace_pronunciation_prob,
                             speaker_ids=spk,
                             max_decoder_steps=args.max_decoder_steps,
-                            fused=args.fused)
+                            fused=False if mesh is not None else args.fused,
+                            mesh=mesh)
         for j, (text, res) in enumerate(zip(texts, results)):
             idx = s + j
             name = "{}_{}{}".format(idx, checkpoint_name,

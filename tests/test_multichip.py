@@ -146,6 +146,40 @@ def test_sp2_step_matches_single_device():
                         what="dp=4 x sp=2 params after 1 step")
 
 
+def test_dp_synthesis_matches_single_device():
+    """tts_batch(mesh=...) — batch sharded over 'data' with replicated
+    params, ragged batch padded to the axis size — produces the same
+    waveforms/mels/alignments as the unsharded call."""
+    from deepvoice3_pytorch_tpu.hparams import default_hparams
+    from deepvoice3_pytorch_tpu.dsp.audio import AudioProcessor
+    from deepvoice3_pytorch_tpu.frontend import get_frontend
+    from deepvoice3_pytorch_tpu.synthesis import tts_batch
+
+    hp = default_hparams()
+    hp.fft_size, hp.hop_size, hp.griffin_lim_iters = 256, 64, 4
+    ap = AudioProcessor(hp)
+    fe = get_frontend("en")
+    cfg = _tiny_cfg(dropout=0.0, linear_dim=129)
+    params = jx_builder.model_init(jax.random.PRNGKey(0), cfg)
+    texts = ["hello world.", "a longer test sentence here.", "ok."]
+    kw = dict(p=0.0, max_decoder_steps=12, early_exit=False, fused=False)
+
+    want = tts_batch(params, cfg, ap, fe, texts, **kw)
+
+    mesh = mesh_lib.make_mesh(n_data=4, n_model=1)
+    got = tts_batch(params, cfg, ap, fe, texts, mesh=mesh, **kw)
+
+    assert len(got) == len(want) == 3        # pad row (3 -> 4) dropped
+    for g, w in zip(got, want):
+        assert g["num_decoder_steps"] == w["num_decoder_steps"]
+        # atol covers fp reassociation from the padded batch shape (B=4 vs
+        # B=3 changes XLA fusion); measured max diff 6.5e-5 on the
+        # denormalized dB-scale spectrograms
+        for k in ("waveform", "mel", "linear", "alignment"):
+            np.testing.assert_allclose(g[k], w[k], atol=3e-4, rtol=0,
+                                       err_msg="dp synthesis %s" % k)
+
+
 def test_checkpoint_resume_under_mesh(tmp_path):
     """Exact checkpoint/resume with dp-sharded state: 2 sharded steps ->
     save (host-gather) -> restore + reshard -> 3 more steps == 5
