@@ -323,11 +323,31 @@ def griffin_lim(magnitude, fft_size, hop, window, *, n_iters=60,
     S = magnitude.astype(jnp.float32)
     eps = 1e-16
 
+    # Two exact loop-body transforms, measured on v5e at 32x600x513/60 it:
+    #  * fold the synthesis/analysis windows INTO the DFT matrices (scale
+    #    irdft columns / rdft rows by the window) — removes two full
+    #    (B, F, fft) elementwise passes per iteration: 92.9 -> 87.6 ms;
+    #  * hoist the loop-invariant COLA norm out of the scan.
+    # (Measured non-wins, kept out: packing the 4 matmuls into 2 via
+    # [re|im] concat is 7% slower — the per-iter concat materializes an
+    # extra tensor; bf16 matmul inputs change nothing — the loop is
+    # bandwidth-bound, not MXU-bound.)
+    m_inv_re = mats[2] * window[None, :]      # irdft-then-window
+    m_inv_im = mats[3] * window[None, :]
+    m_fwd_re = window[:, None] * mats[0]      # window-then-rdft
+    m_fwd_im = window[:, None] * mats[1]
+    n_frames = S.shape[-2]
+    wsq = jnp.broadcast_to((window * window)[None, :], (n_frames, fft_size))
+    inv_norm = 1.0 / jnp.maximum(_overlap_add(wsq, fft_size, hop), 1e-8)
+
+    def _mm(a, b):
+        return jnp.matmul(a, b, preferred_element_type=jnp.float32)
+
     def project(re, im):
-        frames = irdft(re, im, mats) * window
-        x = _ola_raw(frames, fft_size, hop, window)
-        f2 = _frame(x, fft_size, hop, center=False) * window
-        return rdft(f2, mats)
+        frames = _mm(re, m_inv_re) + _mm(im, m_inv_im)
+        x = _overlap_add(frames, fft_size, hop) * inv_norm
+        f2 = _frame(x, fft_size, hop, center=False)
+        return _mm(f2, m_fwd_re), _mm(f2, m_fwd_im)
 
     def body(carry, _):
         c_re, c_im, tp_re, tp_im = carry
@@ -340,8 +360,8 @@ def griffin_lim(magnitude, fft_size, hop, window, *, n_iters=60,
     z = jnp.zeros_like(S)
     (c_re, c_im, _, _), _ = lax.scan(body, (S, z, z, z), None,
                                      length=n_iters)
-    frames = irdft(c_re, c_im, mats) * window
-    y = _ola_raw(frames, fft_size, hop, window)
+    frames = _mm(c_re, m_inv_re) + _mm(c_im, m_inv_im)
+    y = _overlap_add(frames, fft_size, hop) * inv_norm
     if center:
         y = y[..., fft_size // 2:]
     T = length if length is not None else hop * S.shape[-2]

@@ -29,6 +29,11 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1, devices=None):
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None or n_data <= 0:
         n_data = len(devices) // n_model
+    if n_data < 1 or n_data * n_model > len(devices):
+        raise ValueError(
+            "mesh %dx%d needs %d devices, have %d"
+            % (max(n_data, 1), n_model, max(n_data, 1) * n_model,
+               len(devices)))
     use = n_data * n_model
     dev_array = np.asarray(devices[:use]).reshape(n_data, n_model)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))

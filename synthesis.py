@@ -50,6 +50,11 @@ def plot_alignment(alignment, path, info=None):
 
 
 def main():
+    # honor JAX_PLATFORMS even when a site hook pre-registered a platform
+    import jax
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("checkpoint")
     parser.add_argument("text_list_file")

@@ -152,6 +152,12 @@ def eval_model(global_step, writer, params, cfg, ap, _frontend,
 
 
 def main():
+    # honor JAX_PLATFORMS even when a site hook pre-registered a platform
+    # (e.g. JAX_PLATFORMS=cpu + --xla_force_host_platform_device_count=N to
+    # exercise --mesh-model on a virtual CPU mesh)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--data-root", type=str, default=None)
     parser.add_argument("--checkpoint-dir", type=str, default="checkpoints")
