@@ -192,16 +192,13 @@ def bench_checkpoint_early_exit(ckpt_path, hp, cfg, ap, n_timed=5):
     early-exit path when the done latch actually fires — which only means
     anything with trained weights."""
     import jax
-
-    from deepvoice3_pytorch_tpu.frontend import en
-    from deepvoice3_pytorch_tpu.model_builder import build_model
-    from deepvoice3_pytorch_tpu.training import checkpoint as ckpt_lib
-
-    import jax
     import jax.numpy as jnp
 
     from deepvoice3_pytorch_tpu.builder import model_synthesize
+    from deepvoice3_pytorch_tpu.frontend import en
+    from deepvoice3_pytorch_tpu.model_builder import build_model
     from deepvoice3_pytorch_tpu.synthesis import _prepare_batch
+    from deepvoice3_pytorch_tpu.training import checkpoint as ckpt_lib
 
     _, params = build_model(hp, en.n_vocab)
     params, _, step, _ = ckpt_lib.load_checkpoint(ckpt_path, params,
@@ -223,12 +220,15 @@ def bench_checkpoint_early_exit(ckpt_path, hp, cfg, ap, n_timed=5):
     time_up = getattr(cfg.converter, "time_upsampling", 1)
     audio_s = float(dec_len.sum()) * cfg.r * time_up * hp.hop_size \
         / hp.sample_rate
-    t0 = time.perf_counter()
-    for _ in range(n_timed):
-        linear, _ = c_synth(params, x, pos, lengths)
-        wav = ap.inv_spectrogram_device(linear)
-    np.asarray(wav[0, -4:])     # device-complete fence, tiny fetch
-    wall = (time.perf_counter() - t0) / n_timed
+    walls = []
+    for _ in range(3):          # best-of-3, same policy as every metric
+        t0 = time.perf_counter()
+        for _ in range(n_timed):
+            linear, _ = c_synth(params, x, pos, lengths)
+            wav = ap.inv_spectrogram_device(linear)
+        np.asarray(wav[0, -4:])  # device-complete fence, tiny fetch
+        walls.append((time.perf_counter() - t0) / n_timed)
+    wall = min(walls)
     return {
         "checkpoint_step": int(step),
         "batch": len(SENTENCES),

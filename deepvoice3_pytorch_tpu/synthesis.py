@@ -49,12 +49,12 @@ def tts_batch(params, cfg, ap: AudioProcessor, frontend_mod, texts, *,
 
     if fused is None:
         fused = mesh is None and jax.default_backend() == "tpu"
-    assert not (fused and mesh is not None), \
-        "fused decode cannot be mesh-sharded; use fused=False with mesh"
+    if fused and mesh is not None:
+        raise ValueError(
+            "fused decode cannot be mesh-sharded; use fused=False with mesh")
     x, pos, lengths = _prepare_batch(frontend_mod, texts, p, pad_to)
-    spk = None if speaker_ids is None else jnp.asarray(speaker_ids)
+    spk = None if speaker_ids is None else np.asarray(speaker_ids)
 
-    n_pad_rows = 0
     if mesh is not None:
         from .parallel import mesh as mesh_lib
 
@@ -65,10 +65,13 @@ def tts_batch(params, cfg, ap: AudioProcessor, frontend_mod, texts, *,
                 [a, np.repeat(a[:1], n_pad_rows, axis=0)])
                 for a in (x, pos, lengths))
             if spk is not None:
-                spk = jnp.concatenate(
-                    [spk, jnp.repeat(spk[:1], n_pad_rows, axis=0)])
+                spk = np.concatenate(
+                    [spk, np.repeat(spk[:1], n_pad_rows, axis=0)])
+        # one host->device transfer per array: device_put shards the host
+        # array directly (jnp.asarray first would commit to device 0 and
+        # transfer twice)
         bs = mesh_lib.batch_sharding(mesh)
-        x, pos, lengths = (jax.device_put(jnp.asarray(a), bs)
+        x, pos, lengths = (jax.device_put(a, bs)
                            for a in (x, pos, lengths))
         if spk is not None:
             spk = jax.device_put(spk, bs)
@@ -76,6 +79,8 @@ def tts_batch(params, cfg, ap: AudioProcessor, frontend_mod, texts, *,
     else:
         x, pos, lengths = jnp.asarray(x), jnp.asarray(pos), \
             jnp.asarray(lengths)
+        if spk is not None:
+            spk = jnp.asarray(spk)
 
     mel, linear, align, done, dec_lengths = model_synthesize(
         params, cfg, x, pos, speaker_ids=spk,

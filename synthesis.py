@@ -51,9 +51,15 @@ def plot_alignment(alignment, path, info=None):
 
 def main():
     # honor JAX_PLATFORMS even when a site hook pre-registered a platform
+    # (clearing any backend the hook already initialized, as conftest does)
     import jax
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        try:
+            from jax.extend import backend as _jax_backend
+            _jax_backend.clear_backends()
+        except Exception:
+            pass
 
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("checkpoint")

@@ -112,7 +112,7 @@ def save_states(global_step, writer, outputs, batch, checkpoint_dir, ap):
 
 
 def eval_model(global_step, writer, params, cfg, ap, _frontend,
-               checkpoint_dir, ismultispeaker, n_speakers):
+               checkpoint_dir, ismultispeaker, n_speakers, fused=None):
     """Synthesize fixed eval sentences (reference train.py:379-436)."""
     # A small eval set spanning the failure modes worth listening for:
     # numbers/abbreviations (cleaner path), long clauses (attention drift),
@@ -132,7 +132,8 @@ def eval_model(global_step, writer, params, cfg, ap, _frontend,
         spk = None if speaker_id is None else [speaker_id] * len(texts)
         try:
             results = tts_batch(params, cfg, ap, _frontend, texts, p=0,
-                                speaker_ids=spk, max_decoder_steps=500)
+                                speaker_ids=spk, max_decoder_steps=500,
+                                fused=fused)
         except Exception as e:
             print("eval_model failed:", e)
             return
@@ -154,9 +155,16 @@ def eval_model(global_step, writer, params, cfg, ap, _frontend,
 def main():
     # honor JAX_PLATFORMS even when a site hook pre-registered a platform
     # (e.g. JAX_PLATFORMS=cpu + --xla_force_host_platform_device_count=N to
-    # exercise --mesh-model on a virtual CPU mesh)
+    # exercise --mesh-model on a virtual CPU mesh); if the hook already
+    # *initialized* a backend, it must be cleared too (same dance as
+    # tests/conftest.py)
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        try:
+            from jax.extend import backend as _jax_backend
+            _jax_backend.clear_backends()
+        except Exception:
+            pass
 
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--data-root", type=str, default=None)
@@ -353,9 +361,12 @@ def main():
                         train_postnet=train_postnet,
                         save_optimizer_state=hparams.save_optimizer_state)
                 if global_step > 0 and global_step % eval_interval == 0:
+                    # tp-sharded params cannot enter the single-program
+                    # Pallas decode kernel; force the scan path for eval
                     eval_model(global_step, writer, state.params, cfg, ap,
                                _frontend, args.checkpoint_dir,
-                               cfg.n_speakers > 1, cfg.n_speakers)
+                               cfg.n_speakers > 1, cfg.n_speakers,
+                               fused=False if n_model > 1 else None)
                 if args.max_steps and global_step >= args.max_steps:
                     raise KeyboardInterrupt
             global_epoch += 1
