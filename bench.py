@@ -167,6 +167,8 @@ def main():
             round(audio_seconds / wall_fetch, 2),
         "host_fetch_bytes": int(wav_host.nbytes),
     }
+    if os.environ.get("DV3_BENCH_NYANKO", "1") != "0":
+        extras["nyanko"] = bench_nyanko(B, T_DEC)
     if os.environ.get("DV3_BENCH_TRAIN", "1") != "0":
         extras["training"] = bench_training(hp, en.n_vocab)
     if os.environ.get("DV3_BENCH_CKPT"):
@@ -181,6 +183,59 @@ def main():
         "extras": extras,
     }))
     return 0
+
+
+def bench_nyanko(B, T_DEC, n_timed=5):
+    """Second model family (DC-TTS / nyanko, presets/nyanko_ljspeech.json):
+    same pipeline as the headline — whole-loop Pallas decode + converter +
+    60-iter Griffin-Lim — so the RTF claim covers both architectures, not
+    just the flagship. Skip with DV3_BENCH_NYANKO=0."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from deepvoice3_pytorch_tpu.builder import model_synthesize
+    from deepvoice3_pytorch_tpu.dsp.audio import AudioProcessor
+    from deepvoice3_pytorch_tpu.frontend import en
+    from deepvoice3_pytorch_tpu.hparams import default_hparams
+    from deepvoice3_pytorch_tpu.model_builder import build_model
+    from deepvoice3_pytorch_tpu.synthesis import _prepare_batch
+
+    hp = default_hparams()
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "presets", "nyanko_ljspeech.json")) as f:
+        hp.parse_json(f.read())
+    cfg, params = build_model(hp, en.n_vocab)
+    ap = AudioProcessor(hp)
+    x, pos, lengths = _prepare_batch(en, SENTENCES[:B], 0.0, pad_to=64)
+    x, pos, lengths = jnp.asarray(x), jnp.asarray(pos), jnp.asarray(lengths)
+    seconds_per_utt = T_DEC * cfg.r * cfg.downsample_step * hp.hop_size \
+        / hp.sample_rate
+
+    def synth(params, x, pos, lengths):
+        mel, linear, align, done, dec_len = model_synthesize(
+            params, cfg, x, pos, input_lengths=lengths,
+            max_decoder_steps=T_DEC, early_exit=False, fused=True)
+        return linear
+
+    c_synth = jax.jit(synth).lower(params, x, pos, lengths).compile()
+    linear = c_synth(params, x, pos, lengths)
+    wav = ap.inv_spectrogram_device(linear)
+    np.asarray(wav[0, -4:])     # warmup fence
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_timed):
+            linear = c_synth(params, x, pos, lengths)
+            wav = ap.inv_spectrogram_device(linear)
+        np.asarray(wav[0, -4:])
+        walls.append((time.perf_counter() - t0) / n_timed)
+    wall = min(walls)
+    return {
+        "rtf": round(B * seconds_per_utt / wall, 2),
+        "ms_per_batch_device": round(wall * 1000.0, 2),
+    }
 
 
 def bench_checkpoint_early_exit(ckpt_path, hp, cfg, ap, n_timed=5):
