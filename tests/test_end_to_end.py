@@ -125,7 +125,41 @@ def test_preprocess_train_synthesize(tmp_path):
     assert wav.ndim == 1 and align.ndim == 2
 
 
-def test_cli_helpers_run(tmp_path):
+def test_eval_model_writes_audio_under_tp_mesh(tmp_path):
+    """train.py's periodic eval (reference train.py:379-436) with
+    tp/sp-sharded params: eval_model must route through the scan decode
+    path (fused=False) and still produce per-sentence wavs — the fused
+    Pallas kernel cannot take model-sharded params, and a failure here was
+    silently swallowed by eval_model's except."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "train_mod", join(REPO, "train.py"))
+    train_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(train_mod)
+
+    from deepvoice3_pytorch_tpu.hparams import default_hparams
+    from deepvoice3_pytorch_tpu.dsp.audio import AudioProcessor
+    from deepvoice3_pytorch_tpu.model_builder import build_model
+    from deepvoice3_pytorch_tpu.frontend import en
+    from deepvoice3_pytorch_tpu.parallel import mesh as mesh_lib
+
+    hp = default_hparams()
+    hp.parse("text_embed_dim=32,encoder_channels=32,decoder_channels=32,"
+             "converter_channels=32,fft_size=256,hop_size=64,"
+             "griffin_lim_iters=2,max_positions=600")
+    cfg, params = build_model(hp, en.n_vocab)
+    ap = AudioProcessor(hp)
+
+    mesh = mesh_lib.make_mesh(n_data=4, n_model=2)
+    params = mesh_lib.shard_params(params, mesh, tp=True)
+    specs = jax.tree.leaves(jax.tree.map(lambda x: x.sharding.spec, params))
+    assert any(mesh_lib.MODEL_AXIS in str(s) for s in specs)
+
+    ckdir = str(tmp_path / "ck")
+    train_mod.eval_model(10, None, params, cfg, ap, en, ckdir,
+                         False, 1, fused=False)
+    wavs = sorted(os.listdir(join(ckdir, "eval")))
+    assert len(wavs) == 6 and all(w.endswith(".wav") for w in wavs)
     """dump_hparams_to_json round-trips through the preset loader."""
     out = str(tmp_path / "dumped.json")
     r = subprocess.run(
