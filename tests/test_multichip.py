@@ -146,6 +146,28 @@ def test_sp2_step_matches_single_device():
                         what="dp=4 x sp=2 params after 1 step")
 
 
+def test_sp2_ragged_frames_matches_single_device():
+    """sp with a frame count NOT divisible by the model axis (T_dec=7 ->
+    28 mel frames over sp=2): GSPMD's uneven-sharding padding must stay
+    numerically invisible."""
+    cfg, params, opt, step_fn0 = _train_setup()
+    batches = [jax.tree.map(jnp.asarray, _tiny_batch(B=8, T_dec=7))]
+    want, loss1 = _run_steps(step_fn0, opt, params, batches)
+
+    mesh = mesh_lib.make_mesh(n_data=4, n_model=2)
+    _, _, _, step_fn = _train_setup(
+        seq_sharding=mesh_lib.seq_sharding(mesh))
+    sharded = [mesh_lib.shard_batch(mesh, _tiny_batch(B=8, T_dec=7),
+                                    sp=True)]
+    got, loss2 = _run_steps(
+        step_fn, opt, params, sharded,
+        place=lambda p: mesh_lib.shard_params(p, mesh, tp=True))
+
+    np.testing.assert_allclose(loss2, loss1, rtol=1e-6)
+    _assert_trees_close(got, want, atol=2e-6,
+                        what="ragged sp params after 1 step")
+
+
 def test_dp_synthesis_matches_single_device():
     """tts_batch(mesh=...) — batch sharded over 'data' with replicated
     params, ragged batch padded to the axis size — produces the same
