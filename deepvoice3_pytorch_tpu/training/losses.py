@@ -76,10 +76,27 @@ def spec_loss(y_hat, y, mask, *, masked_loss_weight=0.5,
 
 
 def bce_loss(y_hat, y):
-    """nn.BCELoss on probabilities (reference train.py:614,714)."""
-    eps = 1e-12
-    y_hat = jnp.clip(y_hat, eps, 1.0 - eps)
-    return -jnp.mean(y * jnp.log(y_hat) + (1 - y) * jnp.log(1 - y_hat))
+    """nn.BCELoss on probabilities (reference train.py:614,714).
+
+    Torch's BCELoss clamps each log term at -100 rather than clipping the
+    probabilities — in f32 a clip to 1 - 1e-12 rounds straight back to 1.0
+    (ulp near 1 is ~6e-8), so log(1 - y_hat) still hits -inf and
+    0 * -inf NaNs the loss the moment the done sigmoid saturates (which a
+    converging model reliably does: observed at step ~309 of LJSpeech-preset
+    training). The clamp needs the double-where pattern: a plain
+    maximum(log(x), -100) fixes the value but its VJP still multiplies the
+    selector by log's infinite cotangent at x=0 (0 * inf = NaN), so the
+    saturated lanes must be routed around log entirely. Saturated lanes get
+    the exact torch value (-100) and zero gradient (torch's clipped-huge
+    gradient is clip_thresh-bound anyway)."""
+    tiny = jnp.float32(1.1754944e-38)       # smallest f32 normal: 1/tiny
+    lo_sat = y_hat < tiny                   # is finite, so no inf cotangent
+    hi_sat = 1.0 - y_hat < tiny
+    log_p = jnp.where(lo_sat, -100.0,
+                      jnp.log(jnp.where(lo_sat, 0.5, y_hat)))
+    log_1mp = jnp.where(hi_sat, -100.0,
+                        jnp.log1p(-jnp.where(hi_sat, 0.5, y_hat)))
+    return -jnp.mean(y * log_p + (1 - y) * log_1mp)
 
 
 def guided_attention_matrix(input_lengths, decoder_lengths, max_input_len,

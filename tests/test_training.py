@@ -85,6 +85,25 @@ def test_bce_matches_torch():
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+def test_bce_saturated_probabilities_finite():
+    """A converging model saturates the done sigmoid to exactly 1.0 in f32
+    (observed at step ~309 of LJSpeech-preset training), where an
+    eps=1e-12 probability clip is a no-op (1 - 1e-12 rounds to 1.0) and
+    log(0) * 0 NaNs the whole loss. Torch's BCELoss clamps the log terms
+    at -100 instead — loss AND gradient must stay finite, matching torch."""
+    y_hat = np.array([[1.0], [0.0], [1.0], [0.5]], np.float32)
+    y = np.array([[1.0], [0.0], [0.0], [1.0]], np.float32)
+    got = float(losses.bce_loss(jnp.asarray(y_hat), jnp.asarray(y)))
+    want = torch.nn.BCELoss()(torch.from_numpy(y_hat),
+                              torch.from_numpy(y)).item()
+    assert np.isfinite(got)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    g = jax.grad(lambda p: losses.bce_loss(p, jnp.asarray(y)))(
+        jnp.asarray(y_hat))
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_lr_schedules():
     # identical to reference lrschedule.py formulas
     np.testing.assert_allclose(

@@ -315,16 +315,29 @@ def main():
             batch.get("speaker_ids"))
         save_states(step, writer, outputs, batch, args.checkpoint_dir, ap)
 
+    def device_batches(host_batches):
+        """Double-buffered host->device pipeline: device_put dispatches the
+        NEXT batch's transfer asynchronously while the current train step
+        runs, hiding the PCIe/ICI copy behind compute (at 7 ms/step the
+        transfer is the larger cost on slow links)."""
+        pending = None
+        for batch in host_batches:
+            if len(batch["x"]) % n_data != 0:
+                continue  # ragged tail batch cannot shard evenly
+            placed = mesh_lib.shard_batch(mesh, batch, sp=n_model > 1)
+            if pending is not None:
+                yield pending
+            pending = placed
+        if pending is not None:
+            yield pending
+
     print("Starting training (%d utterances, batch %d)"
           % (len(ds), hparams.batch_size))
     try:
         while global_epoch < hparams.nepochs:
             running = []
             t_epoch = time.time()
-            for batch in loader:
-                if len(batch["x"]) % n_data != 0:
-                    continue  # ragged tail batch cannot shard evenly
-                batch = mesh_lib.shard_batch(mesh, batch, sp=n_model > 1)
+            for batch in device_batches(loader):
                 rng, step_rng = jax.random.split(rng)
                 tracer.maybe_start(global_step)
                 state, metrics = step_fn(state, batch, step_rng)
@@ -347,7 +360,10 @@ def main():
                     writer.add_scalar("learning rate",
                                       float(lr_fn(global_step)),
                                       global_step)
-                running.append(float(metrics["loss"]))
+                # keep the device scalar — float() here would fetch the loss
+                # every step, serializing host dispatch on a device roundtrip;
+                # epoch-end materializes the whole list at once
+                running.append(metrics["loss"])
 
                 if global_step > 0 and global_step % ckpt_interval == 0:
                     try:
@@ -370,12 +386,13 @@ def main():
                 if args.max_steps and global_step >= args.max_steps:
                     raise KeyboardInterrupt
             global_epoch += 1
+            epoch_loss = float(np.mean([float(x) for x in running])) \
+                if running else float("nan")
             print("epoch %d done in %.1fs | avg loss %.4f"
-                  % (global_epoch, time.time() - t_epoch,
-                     float(np.mean(running)) if running else float("nan")))
+                  % (global_epoch, time.time() - t_epoch, epoch_loss))
             if writer is not None and running:
-                writer.add_scalar("loss (per epoch)",
-                                  float(np.mean(running)), global_epoch)
+                writer.add_scalar("loss (per epoch)", epoch_loss,
+                                  global_epoch)
     except KeyboardInterrupt:
         print("Interrupted — saving checkpoint")
     finally:
