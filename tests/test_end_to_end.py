@@ -160,6 +160,25 @@ def test_eval_model_writes_audio_under_tp_mesh(tmp_path):
                          False, 1, fused=False)
     wavs = sorted(os.listdir(join(ckdir, "eval")))
     assert len(wavs) == 6 and all(w.endswith(".wav") for w in wavs)
+
+
+def test_postnet_only_requires_mel_input_mode():
+    """--train-postnet-only with use_decoder_state_for_postnet_input=true
+    must fail fast with an actionable message: the converter consumes
+    decoder states in that mode (reference builder.py:71-74), which
+    postnet-only training cannot produce — the reference crashes with an
+    opaque channel-mismatch error instead."""
+    r = subprocess.run(
+        [sys.executable, join(REPO, "train.py"), "--train-postnet-only",
+         "--checkpoint-dir", "/tmp/nonexistent_unused"],
+        capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode != 0
+    assert "use_decoder_state_for_postnet_input=false" in (
+        r.stdout + r.stderr)
+
+
+def test_cli_helpers_run(tmp_path):
     """dump_hparams_to_json round-trips through the preset loader."""
     out = str(tmp_path / "dumped.json")
     r = subprocess.run(

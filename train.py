@@ -220,6 +220,17 @@ def main():
     train_seq2seq = not args.train_postnet_only
     train_postnet = not args.train_seq2seq_only
     assert train_seq2seq or train_postnet
+    if not train_seq2seq and hparams.use_decoder_state_for_postnet_input:
+        # the converter's input dim is decoder_channels // r in this mode
+        # (reference builder.py:71-74), so ground-truth mel cannot feed it —
+        # the reference fails identically, just with an opaque shape error
+        raise SystemExit(
+            "--train-postnet-only requires "
+            "use_decoder_state_for_postnet_input=false: with it on, the "
+            "converter consumes decoder states, which postnet-only training "
+            "has no way to produce. Override with "
+            "--hparams=use_decoder_state_for_postnet_input=false (the "
+            "seq2seq half must have been trained the same way).")
 
     _frontend = frontend_pkg.get_frontend(hparams.frontend)
     ap = AudioProcessor(hparams)
