@@ -325,15 +325,16 @@ def model_forward(params, cfg: TTSModelConfig, text_sequences, mel_targets, *,
     return mel_outputs, linear_outputs, alignments, done
 
 
-def model_synthesize(params, cfg: TTSModelConfig, text_sequences,
-                     text_positions, *, speaker_ids=None, input_lengths=None,
-                     max_decoder_steps=None, early_exit=True,
-                     test_inputs=None, fused=False):
-    """Greedy autoregressive synthesis; the full pipeline is one XLA program.
+def model_decode(params, cfg: TTSModelConfig, text_sequences,
+                 text_positions, *, speaker_ids=None, input_lengths=None,
+                 max_decoder_steps=None, early_exit=True,
+                 test_inputs=None, fused=False):
+    """Encoder + greedy autoregressive decode (no postnet).
 
-    Returns (mel_outputs, linear_outputs, alignments (B,T/r,T_k),
-             done (B,T/r), lengths (B,)).
-    """
+    Returns (mel_outputs (B,T,mel), postnet_inputs (B,T,·), alignments,
+             done (B,T/r), lengths (B,)). Split out of model_synthesize so
+    callers can trim the decoder-rate buffers to the decoded lengths before
+    paying for the converter and vocoder (synthesis.tts_batch)."""
     fam = cfg.family
     B = text_sequences.shape[0]
 
@@ -368,9 +369,36 @@ def model_synthesize(params, cfg: TTSModelConfig, text_sequences,
     else:
         postnet_inputs = mel_outputs
 
-    linear_outputs = fam.converter_apply(
+    return (mel_outputs, postnet_inputs, out.alignments, out.done,
+            out.lengths)
+
+
+def model_postnet(params, cfg: TTSModelConfig, postnet_inputs, *,
+                  speaker_ids=None):
+    """Converter half of synthesis: postnet inputs -> linear spectrogram."""
+    speaker_embed = None
+    if speaker_ids is not None:
+        speaker_embed = core.embedding_apply(params["embed_speakers"],
+                                             speaker_ids)
+    return cfg.family.converter_apply(
         params["converter"], cfg.converter, postnet_inputs,
         speaker_embed=speaker_embed)
 
-    return (mel_outputs, linear_outputs, out.alignments, out.done,
-            out.lengths)
+
+def model_synthesize(params, cfg: TTSModelConfig, text_sequences,
+                     text_positions, *, speaker_ids=None, input_lengths=None,
+                     max_decoder_steps=None, early_exit=True,
+                     test_inputs=None, fused=False):
+    """Greedy autoregressive synthesis; the full pipeline is one XLA program.
+
+    Returns (mel_outputs, linear_outputs, alignments (B,T/r,T_k),
+             done (B,T/r), lengths (B,)).
+    """
+    mel_outputs, postnet_inputs, alignments, done, lengths = model_decode(
+        params, cfg, text_sequences, text_positions,
+        speaker_ids=speaker_ids, input_lengths=input_lengths,
+        max_decoder_steps=max_decoder_steps, early_exit=early_exit,
+        test_inputs=test_inputs, fused=fused)
+    linear_outputs = model_postnet(params, cfg, postnet_inputs,
+                                   speaker_ids=speaker_ids)
+    return (mel_outputs, linear_outputs, alignments, done, lengths)

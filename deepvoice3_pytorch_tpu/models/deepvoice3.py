@@ -506,13 +506,24 @@ def decoder_decode(params, cfg: DecoderConfig, encoder_out, text_positions, *,
                     if s.kind == "glu" and s.speaker_proj:
                         speaker_bias.append(core.softsign(core.linear_apply(
                             p["speaker_proj"], speaker_embed)))
-        outputs, aligns, done, dstates = fd.fused_decode(
-            params, cfg, projected_kv, raw_angles, mask, initial_input,
-            max_steps, w_query=wq, speaker_bias=speaker_bias, fpe_raw=True)
+        if early_exit:
+            # chunked launches + done latch between chunks: real-checkpoint
+            # synthesis stops after ~1-2 chunks instead of max_steps frames
+            outputs, aligns, done, dstates, num_steps = \
+                fd.fused_decode_chunked(
+                    params, cfg, projected_kv, raw_angles, mask,
+                    initial_input, max_steps, cfg.min_decoder_steps,
+                    w_query=wq, speaker_bias=speaker_bias, fpe_raw=True)
+        else:
+            outputs, aligns, done, dstates = fd.fused_decode(
+                params, cfg, projected_kv, raw_angles, mask, initial_input,
+                max_steps, w_query=wq, speaker_bias=speaker_bias,
+                fpe_raw=True)
+            num_steps = jnp.int32(max_steps)
         lengths_out = decode_lib._length_from_done(
-            done, cfg.min_decoder_steps, jnp.int32(max_steps))
+            done, cfg.min_decoder_steps, num_steps)
         return decode_lib.DecodeLoopOut(outputs, aligns, done, dstates,
-                                        lengths_out, jnp.int32(max_steps))
+                                        lengths_out, num_steps)
 
     step_fn = make_decoder_step(params, cfg, projected_kv, w_query,
                                 speaker_embed=speaker_embed, mask=mask)

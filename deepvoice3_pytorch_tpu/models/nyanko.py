@@ -319,13 +319,20 @@ def decoder_decode(params, cfg: NyankoDecoderConfig, encoder_out,
         steps = jnp.arange(1, max_steps + 1, dtype=jnp.int32)
         fpe_table = jnp.take(params["embed_query_positions"]["w"], steps,
                              axis=0)
-        outputs, aligns, done, dstates = fd.fused_decode(
-            params, cfg, [projected_kv], fpe_table, mask, initial_input,
-            max_steps)
+        if early_exit:
+            outputs, aligns, done, dstates, num_steps = \
+                fd.fused_decode_chunked(
+                    params, cfg, [projected_kv], fpe_table, mask,
+                    initial_input, max_steps, cfg.min_decoder_steps)
+        else:
+            outputs, aligns, done, dstates = fd.fused_decode(
+                params, cfg, [projected_kv], fpe_table, mask, initial_input,
+                max_steps)
+            num_steps = jnp.int32(max_steps)
         lengths_out = decode_lib._length_from_done(
-            done, cfg.min_decoder_steps, jnp.int32(max_steps))
+            done, cfg.min_decoder_steps, num_steps)
         return decode_lib.DecodeLoopOut(outputs, aligns, done, dstates,
-                                        lengths_out, jnp.int32(max_steps))
+                                        lengths_out, num_steps)
 
     step_fn = make_decoder_step(params, cfg, projected_kv, mask=mask)
     state = decoder_init_state(cfg, B, keys.dtype)

@@ -197,25 +197,34 @@ def _first_argmax(x):
 
 def _make_kernel(plan_pack, n_att, out_dim, state_dim, tk, fpe_raw):
     plan, buffers, last_idx, fc_idx, _, n_sp = plan_pack
+    n_buf = len(buffers)
 
     def kernel(*refs):
         # refs layout:
         #   fpe_ref (T, C) — query position table (raw angles or encodings)
         #   wq_ref (B, 1) — per-sample query position rate (fpe_raw mode)
         #   mask_ref (B, Tk) additive mask (0 valid / MASK padded)
-        #   init_ref (B, out_dim) initial input frame
+        #   init_ref (B, out_dim) initial input frame (carry-in)
+        #   la_in_ref (B, max(n_att,1)) int32 last_attended carry-in
+        #   buf_in refs: n_buf ring-buffer carry-ins (B, L, C)
         #   kv refs: n_att * (keys (B,Tk,E), values (B,Tk,E))
         #   sp refs: n_sp * (B, cout) speaker softsign biases
         #   weight refs: flat list from build_plan
         #   out refs: out (1,B,out), align (1,B,Tk), done (1,B,1),
-        #             dec_state (1,B,C)
-        #   scratch: prev (B,out), la (B,max(n_att,1)) int32, ring buffers...
+        #             dec_state (1,B,C), then carry-outs prev (B,out),
+        #             la (B,max(n_att,1)), ring buffers (B,L,C)...
+        # The carry-out refs (constant index map — VMEM-resident across the
+        # whole grid) double as the working state, replacing scratch; they
+        # are initialized from the carry-ins at t==0 so a chunked caller can
+        # resume the decode exactly where the previous launch stopped.
         i = 0
         fpe_ref = refs[i]; i += 1
         wq_ref = refs[i] if fpe_raw else None
         i += 1 if fpe_raw else 0
         mask_ref = refs[i]; i += 1
         init_ref = refs[i]; i += 1
+        la_in_ref = refs[i]; i += 1
+        buf_in_refs = refs[i:i + n_buf]; i += n_buf
         kv_refs = refs[i:i + 2 * n_att]; i += 2 * n_att
         sp_refs = refs[i:i + n_sp]; i += n_sp
         n_w = fc_idx + 2  # fc's (w, b) are the last two flat weights
@@ -229,9 +238,9 @@ def _make_kernel(plan_pack, n_att, out_dim, state_dim, tk, fpe_raw):
         @pl.when(t == 0)
         def _init():
             prev_ref[...] = init_ref[...]
-            la_ref[...] = jnp.zeros_like(la_ref)
-            for br in buf_refs:
-                br[...] = jnp.zeros_like(br)
+            la_ref[...] = la_in_ref[...]
+            for br, bi in zip(buf_refs, buf_in_refs):
+                br[...] = bi[...]
 
         x = prev_ref[...]
         ang = fpe_ref[pl.ds(t, 1), :]           # (1, C) row t of the table
@@ -397,6 +406,112 @@ def vmem_bytes_estimate(params, cfg, batch, tk):
     return total
 
 
+class _Prepared:
+    """Launch-invariant state for one decoder: folded weights, projected
+    K/V, masks — prepared ONCE so a chunked caller doesn't re-fold weights
+    inside its while_loop body (XLA does not reliably hoist that)."""
+
+    def __init__(self, params, cfg, projected_kv, mask, *, w_query,
+                 speaker_bias, fpe_raw):
+        self.plan_pack, flat = build_plan(params, cfg)
+        _, self.buffers, _, _, self.n_att, n_sp = self.plan_pack
+        kv = [p for p in projected_kv if p is not None]
+        assert len(kv) == self.n_att
+        assert len(speaker_bias or []) == n_sp, \
+            "need %d speaker-bias arrays, got %r" % (n_sp, speaker_bias)
+        keys0 = kv[0][0]
+        self.B, self.tk = keys0.shape[0], keys0.shape[1]
+        self.out_dim = cfg.in_dim * cfg.r
+        self.state_dim = (cfg.channels if hasattr(cfg, "channels")
+                          else cfg.convolutions[0][0])
+        self.fpe_raw = fpe_raw
+        f32 = jnp.float32
+        self.addmask = (jnp.where(mask, MASK, 0.0).astype(f32)
+                        if mask is not None
+                        else jnp.zeros((self.B, self.tk), f32))
+        self.wq = (jnp.asarray(w_query, f32).reshape(self.B, 1)
+                   if fpe_raw else None)
+        self.kv = [(k.astype(f32), v.astype(f32)) for k, v in kv]
+        self.sp = [sb.astype(f32) for sb in (speaker_bias or [])]
+        self.flat = [w.astype(f32) for w in flat]
+        self.kernel = _make_kernel(self.plan_pack, self.n_att, self.out_dim,
+                                   self.state_dim, self.tk, fpe_raw)
+
+    def zero_carry(self):
+        f32 = jnp.float32
+        la = jnp.zeros((self.B, max(self.n_att, 1)), jnp.int32)
+        bufs = tuple(jnp.zeros((self.B, L, C), f32)
+                     for (L, C) in self.buffers)
+        return la, bufs
+
+    def launch(self, fpe_chunk, prev, la, bufs, steps, interpret):
+        """One kernel launch of `steps` frames from carry (prev, la, bufs).
+
+        Returns ((outputs, aligns, done, dstates) in (B, steps, ...) layout,
+        (prev', la', bufs') carry after the last frame)."""
+        B, tk, out_dim, state_dim = (self.B, self.tk, self.out_dim,
+                                     self.state_dim)
+        f32 = jnp.float32
+
+        def full():
+            return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+        inputs = [fpe_chunk.astype(f32)]
+        if self.fpe_raw:
+            inputs.append(self.wq)
+        inputs += [self.addmask, prev.astype(f32), la]
+        inputs += list(bufs)
+        for k, v in self.kv:
+            inputs += [k, v]
+        inputs += self.sp
+        inputs += self.flat
+        in_specs = [full() for _ in inputs]
+
+        out_shape = [
+            jax.ShapeDtypeStruct((steps, B, out_dim), f32),
+            jax.ShapeDtypeStruct((steps, B, tk), f32),
+            jax.ShapeDtypeStruct((steps, B, 1), f32),
+            jax.ShapeDtypeStruct((steps, B, state_dim), f32),
+            jax.ShapeDtypeStruct((B, out_dim), f32),          # prev carry
+            jax.ShapeDtypeStruct((B, max(self.n_att, 1)), jnp.int32),
+        ]
+        out_shape += [jax.ShapeDtypeStruct((B, L, C), f32)
+                      for (L, C) in self.buffers]
+        out_specs = [
+            pl.BlockSpec((1, B, out_dim), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, tk), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 1), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, state_dim), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        # carry-outs: constant index map — stay VMEM-resident across the
+        # grid (they ARE the working state) and write back once at the end
+        out_specs += [full() for _ in range(2 + len(self.buffers))]
+
+        outs = pl.pallas_call(
+            self.kernel,
+            grid=(steps,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+        )(*inputs)
+
+        outputs, aligns, done, dstates = outs[:4]
+        prev2, la2 = outs[4], outs[5]
+        bufs2 = tuple(outs[6:])
+        # (T, B, ...) -> (B, T, ...)
+        return ((jnp.swapaxes(outputs, 0, 1), jnp.swapaxes(aligns, 0, 1),
+                 jnp.swapaxes(done[..., 0], 0, 1),
+                 jnp.swapaxes(dstates, 0, 1)),
+                (prev2, la2, bufs2))
+
+
 def fused_decode(params, cfg, projected_kv, fpe_table, mask, initial_input,
                  max_steps, *, w_query=None, speaker_bias=None,
                  fpe_raw=False, interpret=None):
@@ -422,77 +537,89 @@ def fused_decode(params, cfg, projected_kv, fpe_table, mask, initial_input,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    prep = _Prepared(params, cfg, projected_kv, mask, w_query=w_query,
+                     speaker_bias=speaker_bias, fpe_raw=fpe_raw)
+    la0, bufs0 = prep.zero_carry()
+    outs, _ = prep.launch(fpe_table, initial_input, la0, bufs0, max_steps,
+                          interpret)
+    return outs
 
-    plan_pack, flat = build_plan(params, cfg)
-    plan, buffers, last_idx, fc_idx, n_att, n_sp = plan_pack
 
-    kv = [p for p in projected_kv if p is not None]
-    assert len(kv) == n_att
-    assert len(speaker_bias or []) == n_sp, \
-        "need %d speaker-bias arrays, got %r" % (n_sp, speaker_bias)
-    keys0 = kv[0][0]
-    B, tk = keys0.shape[0], keys0.shape[1]
-    out_dim = cfg.in_dim * cfg.r
-    state_dim = (cfg.channels if hasattr(cfg, "channels")
-                 else cfg.convolutions[0][0])
+# frames per kernel launch for the early-exit path: small enough that a
+# ~30-frame utterance wastes at most one chunk of compute, large enough
+# that launch overhead stays negligible vs per-frame work
+DEFAULT_CHUNK = 32
+
+
+def fused_decode_chunked(params, cfg, projected_kv, fpe_table, mask,
+                         initial_input, max_steps, min_steps, *, chunk=None,
+                         w_query=None, speaker_bias=None, fpe_raw=False,
+                         interpret=None):
+    """Early-exit fused decode: the whole-loop kernel runs `chunk` frames
+    per launch inside a lax.while_loop; the loop stops after the first
+    chunk in which every sample's done latch has fired (reference stop rule
+    deepvoice3.py:469-473, applied at chunk granularity — frame t is kept
+    once done>0.5 with t+1>min_steps; per-sample lengths are recovered by
+    the caller from the done sequence exactly as in decode_while).
+
+    With a trained checkpoint decoding ~20-40 frames this costs 1-2 kernel
+    launches instead of max_steps frames, closing the gap between the
+    fixed-length fused headline and the real-checkpoint path.
+
+    Returns (outputs, aligns, done, dstates, num_steps) with time buffers
+    of length max_steps; frames past the stop chunk are zero (same
+    convention as decode_while).
+    """
+    from jax import lax
+
+    if chunk is None:
+        chunk = DEFAULT_CHUNK
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    prep = _Prepared(params, cfg, projected_kv, mask, w_query=w_query,
+                     speaker_bias=speaker_bias, fpe_raw=fpe_raw)
+    B, tk = prep.B, prep.tk
     f32 = jnp.float32
 
-    addmask = (jnp.where(mask, MASK, 0.0).astype(f32) if mask is not None
-               else jnp.zeros((B, tk), f32))
+    chunk = min(chunk, max_steps)
+    n_chunks = -(-max_steps // chunk)
+    total = n_chunks * chunk
+    fpe = fpe_table.astype(f32)
+    if fpe.shape[0] < total:
+        # pad with the final row (the scan path's jnp.take clamps the same
+        # way when max_decoder_steps exceeds the position table)
+        fpe = jnp.concatenate(
+            [fpe, jnp.repeat(fpe[-1:], total - fpe.shape[0], axis=0)])
 
-    kernel = _make_kernel(plan_pack, n_att, out_dim, state_dim, tk, fpe_raw)
+    la0, bufs0 = prep.zero_carry()
+    outbufs0 = (jnp.zeros((B, total, prep.out_dim), f32),
+                jnp.zeros((B, total, tk), f32),
+                jnp.zeros((B, total), f32),
+                jnp.zeros((B, total, prep.state_dim), f32))
 
-    def full():
-        return pl.BlockSpec(memory_space=pltpu.VMEM)
+    def cond(carry):
+        c, prev, la, bufs, outs, latch = carry
+        return (c < n_chunks) & ~jnp.all(latch)
 
-    inputs = [fpe_table.astype(f32)]
-    if fpe_raw:
-        inputs.append(jnp.asarray(w_query, f32).reshape(B, 1))
-    inputs += [addmask, initial_input.astype(f32)]
-    for k, v in kv:
-        inputs += [k.astype(f32), v.astype(f32)]
-    for sb in (speaker_bias or []):
-        inputs.append(sb.astype(f32))
-    for wgt in flat:
-        inputs.append(wgt.astype(f32))
-    in_specs = [full() for _ in inputs]
+    def body(carry):
+        c, prev, la, bufs, outs, latch = carry
+        t0 = c * chunk
+        fpe_c = lax.dynamic_slice_in_dim(fpe, t0, chunk, axis=0)
+        (o, a, d, s), (prev2, la2, bufs2) = prep.launch(
+            fpe_c, prev, la, bufs, chunk, interpret)
+        outs = (lax.dynamic_update_slice_in_dim(outs[0], o, t0, 1),
+                lax.dynamic_update_slice_in_dim(outs[1], a, t0, 1),
+                lax.dynamic_update_slice_in_dim(outs[2], d, t0, 1),
+                lax.dynamic_update_slice_in_dim(outs[3], s, t0, 1))
+        gstep = t0 + jnp.arange(1, chunk + 1)             # 1-based frame no.
+        latch = latch | jnp.any((d > 0.5) & (gstep[None, :] > min_steps),
+                                axis=1)
+        return (c + 1, prev2, la2, bufs2, outs, latch)
 
-    out_shape = [
-        jax.ShapeDtypeStruct((max_steps, B, out_dim), f32),
-        jax.ShapeDtypeStruct((max_steps, B, tk), f32),
-        jax.ShapeDtypeStruct((max_steps, B, 1), f32),
-        jax.ShapeDtypeStruct((max_steps, B, state_dim), f32),
-    ]
-    out_specs = [
-        pl.BlockSpec((1, B, out_dim), lambda t: (t, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, B, tk), lambda t: (t, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, B, 1), lambda t: (t, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, B, state_dim), lambda t: (t, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    scratch = [
-        pltpu.VMEM((B, out_dim), f32),                     # fed-back frame
-        pltpu.VMEM((B, max(n_att, 1)), jnp.int32),         # last_attended
-    ]
-    for (L, C) in buffers:
-        scratch.append(pltpu.VMEM((B, L, C), f32))
-
-    outs = pl.pallas_call(
-        kernel,
-        grid=(max_steps,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=scratch,
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-    )(*inputs)
-
-    outputs, aligns, done, dstates = outs
-    # (T, B, ...) -> (B, T, ...)
-    return (jnp.swapaxes(outputs, 0, 1), jnp.swapaxes(aligns, 0, 1),
-            jnp.swapaxes(done[..., 0], 0, 1), jnp.swapaxes(dstates, 0, 1))
+    carry = (jnp.int32(0), initial_input.astype(f32), la0, bufs0, outbufs0,
+             jnp.zeros((B,), jnp.bool_))
+    c, _, _, _, outs, _ = lax.while_loop(cond, body, carry)
+    # trim the chunk-rounded buffers back to max_steps (scan-path layout)
+    outs = tuple(o[:, :max_steps] for o in outs)
+    return (outs[0], outs[1], outs[2], outs[3],
+            jnp.minimum(c * chunk, max_steps))

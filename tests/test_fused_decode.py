@@ -111,6 +111,66 @@ def test_fused_matches_scan_multispeaker():
         assert np.abs(a - c).max() < 2e-5, (name, np.abs(a - c).max())
 
 
+@pytest.mark.parametrize("chunk", [4, 5, 32])
+def test_fused_chunked_matches_single_launch(chunk, monkeypatch):
+    """Chunked early-exit fused decode ≡ single-launch fused decode on the
+    frames both compute — the carry (prev frame, last_attended, ring
+    buffers) must hand off exactly across kernel launches. chunk=5 makes
+    max_steps a non-multiple; chunk=32 collapses to one launch."""
+    from deepvoice3_pytorch_tpu.ops import fused_decode as fd
+
+    monkeypatch.setattr(fd, "DEFAULT_CHUNK", chunk)
+    cfg, params = _tiny()
+    x, pos, lengths = _inputs()
+    T = 11
+
+    ref = model_synthesize(params, cfg, x, pos, input_lengths=lengths,
+                           max_decoder_steps=T, early_exit=False, fused=True)
+    got = model_synthesize(params, cfg, x, pos, input_lengths=lengths,
+                           max_decoder_steps=T, early_exit=True, fused=True)
+
+    # random-weight done flags may latch mid-decode: compare the frames the
+    # chunked path actually computed (whole chunks), plus lengths agreement
+    names = ["mel", "linear", "align", "done", "lengths"]
+    n_dec = int(np.asarray(got[4]).max())      # latest per-sample length
+    r = cfg.r
+    time_up = getattr(cfg.converter, "time_upsampling", 1)
+    lims = [n_dec * r, n_dec * r * time_up, n_dec, n_dec, None]
+    for name, a, c, lim in zip(names, ref, got, lims):
+        a, c = np.asarray(a, np.float64), np.asarray(c, np.float64)
+        assert a.shape == c.shape, (name, a.shape, c.shape)
+        if lim is not None and a.ndim > 1:
+            a, c = a[:, :lim], c[:, :lim]
+        assert np.abs(a - c).max() < 2e-5, (name, np.abs(a - c).max())
+
+
+def test_fused_chunked_early_exit_stops(monkeypatch):
+    """When every done flag fires early, the chunked loop must stop before
+    max_steps (num_steps < max_steps) and zero the tail frames."""
+    import jax
+
+    from deepvoice3_pytorch_tpu import builder as b
+    from deepvoice3_pytorch_tpu.ops import fused_decode as fd
+    from deepvoice3_pytorch_tpu.models import deepvoice3 as dv3
+
+    monkeypatch.setattr(fd, "DEFAULT_CHUNK", 4)
+    cfg, params = _tiny(force_monotonic_attention=True)
+    # drive the done-FC bias strongly positive so done>0.5 from frame 1
+    params["decoder"]["fc"]["b"] = (
+        params["decoder"]["fc"]["b"] + 100.0)
+    x, pos, lengths = _inputs()
+    enc = cfg.family.encoder_apply(params["encoder"], cfg.encoder, x)
+    # min_decoder_steps default is >0; use the cfg value
+    out = dv3.decoder_decode(params["decoder"], cfg.decoder, enc, pos,
+                             lengths=lengths, max_decoder_steps=40,
+                             early_exit=True, fused=True)
+    n = int(out.num_steps)
+    assert n < 40, n
+    assert int(np.asarray(out.lengths).max()) <= n
+    # frames past the stop chunk stayed zero
+    assert np.abs(np.asarray(out.outputs)[:, n:]).max() == 0.0
+
+
 def test_vmem_estimate_and_fallback():
     from deepvoice3_pytorch_tpu.ops import fused_decode as fd
 
