@@ -41,6 +41,22 @@ from jax.experimental.pallas import tpu as pltpu
 from . import stft as dsp
 
 
+def _device_vmem_budget():
+    """Scoped-vmem limit for the kernel, derived from the attached device:
+    ~78% of core VMEM (leaves compiler headroom), falling back to 100 MB
+    (v4/v5-class) when the platform doesn't report capacity. On 16 MB-VMEM
+    generations this makes Mosaic reject the launch with a budget error up
+    front instead of crashing mid-compile (round-2 advisor finding)."""
+    try:
+        d = jax.devices()[0]
+        cap = int(d.memory_stats().get("vmem_size_bytes", 0))
+        if cap > 0:
+            return int(cap * 0.78)
+    except Exception:
+        pass
+    return 100 * 1024 * 1024
+
+
 def _ola_norm(n_frames, fft_size, hop, window):
     """Squared-window overlap-add normalizer in (n+k-1, hop) block layout."""
     k = fft_size // hop
@@ -157,8 +173,11 @@ def griffin_lim_pallas(magnitude, fft_size, hop, window, *, n_iters=60,
             dimension_semantics=("arbitrary",),
             # the per-item working set (4 spectra + OLA buffer + DFT mats)
             # crosses Mosaic's default 16 MB scoped-vmem limit at LJSpeech
-            # bench shapes (n=600 -> 16.02 MB); v5e has 128 MB VMEM
-            vmem_limit_bytes=100 * 1024 * 1024),
+            # bench shapes (n=600 -> 16.02 MB). The limit is derived from
+            # the attached device so the opt-in kernel fails with a clear
+            # budget error (not a Mosaic crash) on small-VMEM generations;
+            # it needs a >=64 MB-VMEM part (v4/v5-class) at bench shapes.
+            vmem_limit_bytes=_device_vmem_budget()),
     )(magnitude.astype(jnp.float32), *mats, win2d, norm)
 
     wav = out.reshape(B, nb * hop)

@@ -21,6 +21,54 @@ from os.path import join
 import numpy as np
 
 
+DSP_STAMP_KEYS = ("stft_mode", "fft_size", "hop_size", "sample_rate",
+                  "num_mels", "fmin", "fmax", "preemphasis", "min_level_db",
+                  "ref_level_db", "rescaling", "rescaling_max",
+                  "allow_clipping_in_normalization")
+
+
+def dsp_stamp(hp):
+    """The audio-convention fingerprint of a preprocessing run."""
+    return {k: getattr(hp, k) for k in DSP_STAMP_KEYS}
+
+
+def write_dsp_stamp(data_root, hp):
+    import json
+
+    with open(join(data_root, "dsp_config.json"), "w") as f:
+        json.dump(dsp_stamp(hp), f, indent=2, sort_keys=True)
+
+
+def check_dsp_stamp(data_root, hp):
+    """Assert the corpus was preprocessed under the active DSP conventions.
+
+    Changing stft_mode (or any framing/normalization hparam) between
+    preprocessing and training silently shifts frame counts and feature
+    scale — the mismatch trains quietly wrong (round-2 advisor finding).
+    Corpora preprocessed before the stamp existed (no dsp_config.json)
+    pass with a warning."""
+    import json
+    import warnings
+
+    path = join(data_root, "dsp_config.json")
+    if not os.path.exists(path):
+        warnings.warn(
+            "%s has no dsp_config.json stamp (preprocessed by an older "
+            "build); cannot verify the STFT conventions match" % data_root)
+        return
+    with open(path) as f:
+        stamped = json.load(f)
+    active = dsp_stamp(hp)
+    bad = {k: (stamped.get(k), active[k]) for k in DSP_STAMP_KEYS
+           if k in stamped and stamped[k] != active[k]}
+    if bad:
+        raise SystemExit(
+            "DSP convention mismatch between the preprocessed corpus and "
+            "the active hparams (re-run preprocess.py or fix the preset): "
+            + ", ".join("%s: corpus=%r active=%r" % (k, v[0], v[1])
+                        for k, v in sorted(bad.items())))
+
+
 class Metadata:
     """Parsed train.txt (reference preprocess.py:28-30 format)."""
 

@@ -88,8 +88,14 @@ def bce_loss(y_hat, y):
     selector by log's infinite cotangent at x=0 (0 * inf = NaN), so the
     saturated lanes must be routed around log entirely. Saturated lanes get
     the exact torch value (-100) and zero gradient (torch's clipped-huge
-    gradient is clip_thresh-bound anyway)."""
-    tiny = jnp.float32(1.1754944e-38)       # smallest f32 normal: 1/tiny
+    gradient is clip_thresh-bound anyway).
+
+    The threshold is e^-100 (~3.72e-44, a subnormal but representable f32),
+    not the smallest normal: torch's clamp only bites below e^-100, and
+    log of a subnormal is finite, so probabilities in (e^-100, 1.2e-38)
+    keep their true log — exact BCELoss parity over the whole f32 range
+    (round-2 advisor finding)."""
+    tiny = jnp.float32(3.8e-44)             # just above e^-100 = 3.72e-44
     lo_sat = y_hat < tiny                   # is finite, so no inf cotangent
     hi_sat = 1.0 - y_hat < tiny
     log_p = jnp.where(lo_sat, -100.0,

@@ -66,6 +66,10 @@ def main():
     metadata = mod.build_from_path(args.in_dir, args.out_dir, ap, hparams,
                                    num_workers=args.num_workers, tqdm=tqdm)
     write_metadata(metadata, args.out_dir, hparams)
+    # stamp the DSP conventions so train.py can refuse a corpus whose
+    # framing/normalization no longer matches the active hparams
+    from deepvoice3_pytorch_tpu.training.dataset import write_dsp_stamp
+    write_dsp_stamp(args.out_dir, hparams)
 
 
 if __name__ == "__main__":

@@ -144,3 +144,65 @@ def test_prepare_vctk_labels_layout(tmp_path, fake_server):
     assert rc == 0
     lab = (tmp_path / "lab" / "p225" / "p225_001.lab").read_text()
     assert "pau" in lab and "silB" not in lab
+
+
+# ---------------------------------------------------------------------------
+# pluggable aligner driver (vctk_preprocess/align.py) — the designed
+# equivalent of the reference merlin/HTK path (DESIGN.md §7.1)
+# ---------------------------------------------------------------------------
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", "vctk_preprocess"))
+import align as align_mod  # noqa: E402
+
+
+def _mk_utts(tmp_path, n=2):
+    wav_dir = tmp_path / "wav"
+    txt_dir = tmp_path / "txt"
+    wav_dir.mkdir()
+    txt_dir.mkdir()
+    for i in range(n):
+        (wav_dir / ("utt%d.wav" % i)).write_bytes(b"RIFFfake")
+        (txt_dir / ("utt%d.txt" % i)).write_text("hello world %d" % i)
+    return str(wav_dir), str(txt_dir)
+
+
+def test_align_cmd_backend_produces_parseable_labs(tmp_path):
+    """--backend=cmd with an external 'aligner' (here: a python one-liner)
+    yields .lab files that validate AND parse through the production
+    load_hts_labels + pau-trim path — the end-to-end contract a merlin/HTK
+    user relies on."""
+    from deepvoice3_pytorch_tpu.datasets import common as ds_common
+
+    wav_dir, txt_dir = _mk_utts(tmp_path)
+    out_dir = str(tmp_path / "lab")
+    script = tmp_path / "fake_aligner.py"
+    script.write_text(
+        "import sys\n"
+        "open(sys.argv[1], 'w').write("
+        "'0 1000000 pau\\n1000000 5000000 ah\\n5000000 6000000 pau\\n')\n")
+    align_mod.run_cmd_backend(
+        "%s %s {lab}" % (sys.executable, script), wav_dir, txt_dir, out_dir)
+
+    labs = sorted(os.listdir(out_dir))
+    assert labs == ["utt0.lab", "utt1.lab"]
+    labels = ds_common.load_hts_labels(os.path.join(out_dir, "utt0.lab"))
+    start, end = ds_common.lab_trim_bounds_pau(labels)
+    assert 0 <= start < end
+
+
+def test_align_cmd_backend_rejects_bad_output(tmp_path):
+    """A misbehaving external aligner (non-contiguous segments) must be
+    rejected by the validation gate, not silently accepted."""
+    import pytest
+
+    wav_dir, txt_dir = _mk_utts(tmp_path, n=1)
+    out_dir = str(tmp_path / "lab")
+    script = tmp_path / "bad_aligner.py"
+    script.write_text(
+        "import sys\n"
+        "open(sys.argv[1], 'w').write('0 10 pau\\n50 60 ah\\n')\n")
+    with pytest.raises(ValueError, match="contiguous"):
+        align_mod.run_cmd_backend(
+            "%s %s {lab}" % (sys.executable, script),
+            wav_dir, txt_dir, out_dir)

@@ -237,6 +237,7 @@ def main():
 
     data_root = args.data_root or join(os.path.dirname(__file__), "data",
                                        "ljspeech")
+    dataset.check_dsp_stamp(data_root, hparams)
     ds = dataset.TTSDataset(data_root, _frontend,
                             hparams.replace_pronunciation_prob,
                             speaker_id=args.speaker_id)
