@@ -90,12 +90,15 @@ def bce_loss(y_hat, y):
     the exact torch value (-100) and zero gradient (torch's clipped-huge
     gradient is clip_thresh-bound anyway).
 
-    The threshold is e^-100 (~3.72e-44, a subnormal but representable f32),
-    not the smallest normal: torch's clamp only bites below e^-100, and
-    log of a subnormal is finite, so probabilities in (e^-100, 1.2e-38)
-    keep their true log — exact BCELoss parity over the whole f32 range
-    (round-2 advisor finding)."""
-    tiny = jnp.float32(3.8e-44)             # just above e^-100 = 3.72e-44
+    Known dead zone vs torch (round-2 advisor finding): torch's clamp only
+    bites below e^-100 (~3.7e-44), so probabilities in (e^-100, 1.2e-38)
+    — f32 subnormals — get -100 here instead of their true log (up to ~13
+    nats / element) with zero gradient. The threshold deliberately stays
+    at the smallest NORMAL f32: XLA flushes subnormals to zero on TPU and
+    CPU (an e^-100 threshold itself FTZs to 0.0 and reintroduces the
+    log(0) NaN — measured), so on this stack subnormal probabilities
+    cannot reach the loss and the gap is unobservable."""
+    tiny = jnp.float32(1.1754944e-38)       # smallest f32 normal
     lo_sat = y_hat < tiny                   # is finite, so no inf cotangent
     hi_sat = 1.0 - y_hat < tiny
     log_p = jnp.where(lo_sat, -100.0,
