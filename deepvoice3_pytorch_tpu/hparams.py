@@ -107,7 +107,12 @@ def default_hparams():
         process_only_htk_aligned=False,
 
         # --- TPU-native additions (not in the reference) ---
-        griffin_lim_iters=60,       # on-device phase retrieval iterations
+        griffin_lim_iters=30,       # on-device phase retrieval iterations
+                                    # (smallest count beating the lws-local
+                                    # quality baseline on the golden fixture
+                                    # — tools/gl_iters_sweep.py: sc 0.143 vs
+                                    # lws 0.159; 60 iters reaches 0.132 at
+                                    # 1.8x the vocoder cost)
         max_decoder_steps=500,      # static decode length bound
         length_bucket_step=32,      # pad text lengths to multiples (recompile guard)
         frame_bucket_step=64,       # pad decoder lengths to multiples

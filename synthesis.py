@@ -80,8 +80,8 @@ def main():
                              "(default: auto — on for TPU)")
     parser.add_argument("--data-parallel", action="store_true",
                         help="shard each batch over all visible chips "
-                             "(params replicated); implies the scan decode "
-                             "path instead of --fused")
+                             "(params replicated); composes with --fused "
+                             "(shard_map runs the kernel per device)")
     parser.add_argument("--output-html", action="store_true")
     args = parser.parse_args()
 
@@ -125,8 +125,7 @@ def main():
                             p=args.replace_pronunciation_prob,
                             speaker_ids=spk,
                             max_decoder_steps=args.max_decoder_steps,
-                            fused=False if mesh is not None else args.fused,
-                            mesh=mesh)
+                            fused=args.fused, mesh=mesh)
         for j, (text, res) in enumerate(zip(texts, results)):
             idx = s + j
             name = "{}_{}{}".format(idx, checkpoint_name,

@@ -65,7 +65,7 @@ def test_native_griffin_lim_matches_device(ap):
     lin = ap.spectrogram(wav)  # (F, n)
     wav_n = native.inv_spectrogram(lin.T, hp.fft_size, hp.hop_size, hp.power,
                                    hp.min_level_db, hp.ref_level_db,
-                                   n_iters=60)
+                                   n_iters=hp.griffin_lim_iters)
     wav_j = ap.inv_spectrogram(lin)
     L = min(len(wav_n), len(wav_j))
     assert np.isfinite(wav_n).all()
