@@ -144,6 +144,42 @@ def test_fused_chunked_matches_single_launch(chunk, monkeypatch):
         assert np.abs(a - c).max() < 2e-5, (name, np.abs(a - c).max())
 
 
+def test_fused_chunked_matches_single_launch_multispeaker(monkeypatch):
+    """Chunked carry handoff with the multispeaker extras (per-sample
+    w_query position rates + speaker softsign biases) — the configuration
+    the VCTK bench row uses."""
+    from deepvoice3_pytorch_tpu.ops import fused_decode as fd
+
+    monkeypatch.setattr(fd, "DEFAULT_CHUNK", 4)
+    cfg = b.deepvoice3_multispeaker(
+        n_vocab=149, embed_dim=64, mel_dim=16, linear_dim=65, r=2,
+        downsample_step=1, kernel_size=3, encoder_channels=32,
+        decoder_channels=32, converter_channels=32, n_speakers=4,
+        speaker_embed_dim=8, use_memory_mask=True, key_projection=True,
+        value_projection=True, max_positions=64,
+        force_monotonic_attention=True)
+    params = b.model_init(jax.random.PRNGKey(3), cfg)
+    x, pos, lengths = _inputs()
+    spk = jnp.asarray([0, 2, 3], jnp.int32)
+    T = 9
+    ref = model_synthesize(params, cfg, x, pos, input_lengths=lengths,
+                           speaker_ids=spk, max_decoder_steps=T,
+                           early_exit=False, fused=True)
+    got = model_synthesize(params, cfg, x, pos, input_lengths=lengths,
+                           speaker_ids=spk, max_decoder_steps=T,
+                           early_exit=True, fused=True)
+    n_dec = int(np.asarray(got[4]).max())
+    time_up = getattr(cfg.converter, "time_upsampling", 1)
+    lims = [n_dec * cfg.r, n_dec * cfg.r * time_up, n_dec, n_dec, None]
+    for name, a, c, lim in zip(["mel", "linear", "align", "done", "len"],
+                               ref, got, lims):
+        a, c = np.asarray(a, np.float64), np.asarray(c, np.float64)
+        assert a.shape == c.shape, (name, a.shape, c.shape)
+        if lim is not None and a.ndim > 1:
+            a, c = a[:, :lim], c[:, :lim]
+        assert np.abs(a - c).max() < 2e-5, (name, np.abs(a - c).max())
+
+
 def test_fused_chunked_early_exit_stops(monkeypatch):
     """When every done flag fires early, the chunked loop must stop before
     max_steps (num_steps < max_steps) and zero the tail frames."""
