@@ -296,7 +296,8 @@ def _ola_raw(frames, fft_size, hop, window):
 
 
 def griffin_lim(magnitude, fft_size, hop, window, *, n_iters=60,
-                momentum=0.99, length=None, mats=None, center=True):
+                momentum=0.99, length=None, mats=None, center=True,
+                matmul_dtype=None):
     """Phase retrieval from |S| via fast Griffin-Lim (Perraudin et al. 2013),
     the momentum-accelerated fixed point of the same consistency projection
     LWS solves locally (reference audio.py:37-43's run_lws; quality
@@ -336,11 +337,23 @@ def griffin_lim(magnitude, fft_size, hop, window, *, n_iters=60,
     m_inv_im = mats[3] * window[None, :]
     m_fwd_re = window[:, None] * mats[0]      # window-then-rdft
     m_fwd_im = window[:, None] * mats[1]
+    # matmul_dtype=bfloat16: run the four per-iteration DFT matmuls with
+    # bf16 operands (f32 accumulation via preferred_element_type) — the
+    # loop is f32-MXU-throughput-bound at ~1.35 ms/iter, so halving the
+    # matmul cost is the remaining lever; phase/magnitude arithmetic stays
+    # f32. Quality/speed measured by tools/gl_bf16_probe.py before wiring
+    # any default.
+    md = jnp.dtype(matmul_dtype) if matmul_dtype is not None else None
+    if md is not None:
+        m_inv_re, m_inv_im = m_inv_re.astype(md), m_inv_im.astype(md)
+        m_fwd_re, m_fwd_im = m_fwd_re.astype(md), m_fwd_im.astype(md)
     n_frames = S.shape[-2]
     wsq = jnp.broadcast_to((window * window)[None, :], (n_frames, fft_size))
     inv_norm = 1.0 / jnp.maximum(_overlap_add(wsq, fft_size, hop), 1e-8)
 
     def _mm(a, b):
+        if md is not None:
+            a = a.astype(md)
         return jnp.matmul(a, b, preferred_element_type=jnp.float32)
 
     def project(re, im):

@@ -104,8 +104,7 @@ def main():
     def step_variant(name, lc_kw=None, mask_kw=None):
         lc = trainer.loss_config_from_hparams(hp)
         if lc_kw:
-            from dataclasses import replace
-            lc = replace(lc, **lc_kw)
+            lc = lc._replace(**lc_kw)    # NamedTuple
         mask = trainer.trainable_mask(params, cfg, **(mask_kw or {}))
         fn = trainer.make_train_step(cfg, lc, opt, mask,
                                      compute_dtype=args.dtype)
@@ -129,14 +128,18 @@ def main():
                      "mfu_vs_bf16_peak": round(
                          flops / (ms / 1e3) / 197e12, 4)
                      if np.isfinite(flops) else None}
+        print("#", name, out[name], flush=True)
         return ms
 
     ms_full = step_variant("full")
     ms_ng = step_variant("no_guided", lc_kw={"use_guided_attention": False})
     ms_s2s = step_variant("seq2seq_only", lc_kw={"train_postnet": False},
                           mask_kw={"train_postnet": False})
-    ms_post = step_variant("postnet_only", lc_kw={"train_seq2seq": False},
-                           mask_kw={"train_seq2seq": False})
+    # NOTE: postnet_only is structurally impossible at this preset
+    # (use_decoder_state_for_postnet_input: the converter consumes decoder
+    # states, which don't exist without the seq2seq — train.py refuses the
+    # same combination), so the converter cost comes from full - seq2seq_only.
+    ms_post = None
 
     # forward-only and forward+grad variants share the full loss config
     lc = trainer.loss_config_from_hparams(hp)
@@ -180,7 +183,6 @@ def main():
     out["derived_ms"] = {
         "guided_attention": round(ms_full - ms_ng, 3),
         "converter_fwd_bwd": round(ms_full - ms_s2s, 3),
-        "seq2seq_fwd_bwd": round(ms_full - ms_post, 3),
         "optimizer_update": round(
             ms_full - out["fwd_grad"]["ms_per_step"], 3),
         "backward_pass": round(
