@@ -248,3 +248,29 @@ def test_nikl_m(tmp_path):
     meta = nikl_m.build_from_path(str(root), out, AudioProcessor(hp), hp)
     _check_outputs(meta, out, 4, 5)
     assert sorted({m[4] for m in meta}) == [0, 1]
+
+
+def test_dsp_stamp_roundtrip_and_mismatch(tmp_path):
+    """preprocess stamps the DSP conventions (dsp_config.json); training
+    accepts a matching corpus, refuses a mismatched one with a clear
+    SystemExit, and warns (not fails) on pre-stamp corpora."""
+    import pytest
+    import warnings
+
+    from deepvoice3_pytorch_tpu.training import dataset as ds
+
+    hp = _hp()
+    root = str(tmp_path)
+    ds.write_dsp_stamp(root, hp)
+    ds.check_dsp_stamp(root, hp)          # match: silent
+
+    hp2 = _hp()
+    hp2.stft_mode = "center"              # convention change
+    with pytest.raises(SystemExit, match="stft_mode"):
+        ds.check_dsp_stamp(root, hp2)
+
+    os.remove(os.path.join(root, "dsp_config.json"))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ds.check_dsp_stamp(root, hp)      # pre-stamp corpus: warn only
+    assert any("dsp_config" in str(x.message) for x in w)
