@@ -51,10 +51,20 @@ def mean_frames_per_char(texts, sample_rate, hop_size):
     return tot_frames / max(tot_chars, 1)
 
 
-def synth_wav(text, sample_rate=22050, hop_size=256, tail_silence_s=0.1):
-    """Deterministic waveform for `text` (float32 in [-1, 1])."""
+def speaker_scale(speaker_id):
+    """Per-speaker formant scale: speaker 0 = 1.0, each next ~18% higher —
+    the synthetic language's analogue of different voices. Durations are
+    shared across speakers (the language, not the voice, sets timing)."""
+    return 1.0 + 0.18 * speaker_id
+
+
+def synth_wav(text, sample_rate=22050, hop_size=256, tail_silence_s=0.1,
+              speaker_id=None):
+    """Deterministic waveform for `text` (float32 in [-1, 1]). With
+    speaker_id, formant frequencies scale by speaker_scale(speaker_id)."""
     pieces = []
     fade = int(sample_rate * _FADE_MS / 1000.0)
+    fs = speaker_scale(speaker_id) if speaker_id is not None else 1.0
     rs = np.random.RandomState(sum(ord(c) for c in text) % 65521)
     for c in text:
         n, f1, f2, am = char_unit(c, sample_rate, hop_size)
@@ -62,8 +72,8 @@ def synth_wav(text, sample_rate=22050, hop_size=256, tail_silence_s=0.1):
         if f1 == 0.0:
             x = 0.002 * rs.randn(n)
         else:
-            x = (np.sin(2 * np.pi * f1 * t)
-                 + 0.5 * np.sin(2 * np.pi * f2 * t))
+            x = (np.sin(2 * np.pi * f1 * fs * t)
+                 + 0.5 * np.sin(2 * np.pi * f2 * fs * t))
             x *= _AMP * (0.75 + 0.25 * np.sin(2 * np.pi * am * t))
             env = np.ones(n)
             k = min(fade, n // 2)
@@ -91,16 +101,24 @@ def make_sentences(n, seed=0, min_words=3, max_words=9):
     return out
 
 
-def build_items(texts, hp, ap, frontend_mod, p=0.0):
+def build_items(texts, hp, ap, frontend_mod, p=0.0, speaker_ids=None):
     """[{'text': int32 seq, 'mel': (T,80), 'linear': (T,513)}] via the
-    production feature pipeline (AudioProcessor.batch_features)."""
-    wavs = [synth_wav(t, hp.sample_rate, hp.hop_size) for t in texts]
+    production feature pipeline (AudioProcessor.batch_features). With
+    speaker_ids (parallel to texts), items carry 'speaker_id' and the
+    audio is speaker-conditioned (speaker_scale)."""
+    wavs = [synth_wav(t, hp.sample_rate, hp.hop_size,
+                      speaker_id=None if speaker_ids is None
+                      else speaker_ids[i])
+            for i, t in enumerate(texts)]
     feats = ap.batch_features(wavs)
     items = []
-    for text, (spec, mel) in zip(texts, feats):
+    for i, (text, (spec, mel)) in enumerate(zip(texts, feats)):
         seq = np.asarray(frontend_mod.text_to_sequence(text, p=p), np.int32)
-        items.append({"text": seq, "mel": np.asarray(mel, np.float32),
-                      "linear": np.asarray(spec, np.float32)})
+        item = {"text": seq, "mel": np.asarray(mel, np.float32),
+                "linear": np.asarray(spec, np.float32)}
+        if speaker_ids is not None:
+            item["speaker_id"] = int(speaker_ids[i])
+        items.append(item)
     return items
 
 
