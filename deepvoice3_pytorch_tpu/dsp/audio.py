@@ -36,7 +36,8 @@ class AudioProcessor:
         self.ref_level_db = hp.ref_level_db
         self.power = getattr(hp, "power", 1.4)
         self.gl_iters = getattr(hp, "griffin_lim_iters", 60)
-        self.gl_matmul_dtype = getattr(hp, "griffin_lim_matmul_dtype", None)
+        self.gl_matmul_dtype = (getattr(hp, "griffin_lim_matmul_dtype", "")
+                                or None)
         self.rescaling = getattr(hp, "rescaling", False)
         self.rescaling_max = getattr(hp, "rescaling_max", 0.999)
         self.allow_clipping = getattr(hp, "allow_clipping_in_normalization",

@@ -124,6 +124,11 @@ def default_hparams():
                                     # sqrt-Hann); "center": librosa-style
         phase_retrieval="gl",       # "gl" momentum Griffin-Lim (default) or
                                     # "lws" on-device local weighted sums
+        griffin_lim_matmul_dtype="",  # "" = float32; "bfloat16" runs the GL
+                                    # DFT matmuls with bf16 operands —
+                                    # measured NEUTRAL on v5e
+                                    # (tools/gl_bf16_probe.py), kept for
+                                    # other TPU generations
     )
 
 
