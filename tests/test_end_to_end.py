@@ -268,3 +268,44 @@ def test_synthesis_cli_and_gallery(tmp_path):
     gal.build(str(site), [("Tiny model", str(dst))])
     page = open(site / "index.html", encoding="utf-8").read()
     assert page.count("<audio") == 2 and "hello world." in page
+
+
+def test_tts_batch_trim_is_output_invariant(monkeypatch):
+    """The bucketed post-decode trim (synthesis.tts_batch) must not change
+    any returned sample: per-utterance waveform/linear/mel are identical
+    whether the converter+vocoder ran on the trimmed buffers or on the
+    full max_decoder_steps padding."""
+    from deepvoice3_pytorch_tpu import builder as b
+    from deepvoice3_pytorch_tpu import synthesis as syn
+    from deepvoice3_pytorch_tpu.dsp.audio import AudioProcessor
+    from deepvoice3_pytorch_tpu.frontend import get_frontend
+    from deepvoice3_pytorch_tpu.hparams import default_hparams
+
+    hp = default_hparams()
+    hp.fft_size, hp.hop_size, hp.griffin_lim_iters = 256, 64, 4
+    ap = AudioProcessor(hp)
+    fe = get_frontend("en")
+    cfg = b.deepvoice3(n_vocab=fe.n_vocab, embed_dim=32, mel_dim=16,
+                       linear_dim=129, r=2, downsample_step=1, dropout=0.0,
+                       kernel_size=3, encoder_channels=32,
+                       decoder_channels=32, converter_channels=32,
+                       use_memory_mask=True, max_positions=128,
+                       force_monotonic_attention=True)
+    params = b.model_init(jax.random.PRNGKey(0), cfg)
+    # force the done latch almost immediately so the trim engages hard
+    params["decoder"]["fc"]["b"] = params["decoder"]["fc"]["b"] + 100.0
+    texts = ["hello world.", "a much longer sentence for testing."]
+    kw = dict(p=0.0, max_decoder_steps=48, early_exit=True, fused=False)
+
+    trimmed = syn.tts_batch(params, cfg, ap, fe, texts, **kw)
+    assert all(r["num_decoder_steps"] < 48 for r in trimmed)
+
+    # disable the trim (bucket rounds straight to max_decoder_steps)
+    monkeypatch.setattr(syn, "BUCKET_DEC_STEPS", 10000)
+    full = syn.tts_batch(params, cfg, ap, fe, texts, **kw)
+
+    for t, f in zip(trimmed, full):
+        assert t["num_decoder_steps"] == f["num_decoder_steps"]
+        for k in ("waveform", "linear", "mel", "alignment"):
+            np.testing.assert_allclose(t[k], f[k], atol=2e-4, rtol=0,
+                                       err_msg=k)
