@@ -67,7 +67,7 @@ _LJ_PARSE = ("builder=deepvoice3,text_embed_dim=256,encoder_channels=512,"
              "decoder_channels=256,converter_channels=256,"
              "outputs_per_step=1,downsample_step=4,kernel_size=3,"
              "key_projection=true,value_projection=true,"
-             "key_position_rate=1.385,griffin_lim_iters=30")
+             "key_position_rate=1.385")
 
 
 def main():

@@ -38,6 +38,8 @@ class AudioProcessor:
         self.gl_iters = getattr(hp, "griffin_lim_iters", 60)
         self.gl_matmul_dtype = (getattr(hp, "griffin_lim_matmul_dtype", "")
                                 or None)
+        self.gl_phase_init = getattr(hp, "griffin_lim_phase_init", "zero")
+        self.gl_momentum = float(getattr(hp, "griffin_lim_momentum", 0.99))
         self.rescaling = getattr(hp, "rescaling", False)
         self.rescaling_max = getattr(hp, "rescaling_max", 0.999)
         self.allow_clipping = getattr(hp, "allow_clipping_in_normalization",
@@ -123,16 +125,21 @@ class AudioProcessor:
                                n_iters=self.gl_iters, center=centered,
                                mats=mats)
             if use_pallas_gl and S.ndim == 3:
-                # whole-retrieval Pallas kernel: same quality, ~30x faster
-                # compile but ~5x slower runtime at batch-32 shapes
-                # (measured; see dsp/gl_pallas.py header) — opt-in only
+                # whole-retrieval Pallas kernel: ~30x faster compile but
+                # ~5x slower runtime at batch-32 shapes (measured; see
+                # dsp/gl_pallas.py header) — opt-in only. Always starts
+                # zero-phase (griffin_lim_phase_init is ignored), so pair
+                # it with griffin_lim_iters>=30 for default-path quality.
                 from .gl_pallas import griffin_lim_pallas
                 return griffin_lim_pallas(S, fft, hop, win,
                                           n_iters=self.gl_iters, mats=mats,
+                                          momentum=self.gl_momentum,
                                           center=centered)
             return dsp.griffin_lim(S, fft, hop, win, n_iters=self.gl_iters,
                                    mats=mats, center=centered,
-                                   matmul_dtype=self.gl_matmul_dtype)
+                                   momentum=self.gl_momentum,
+                                   matmul_dtype=self.gl_matmul_dtype,
+                                   phase_init=self.gl_phase_init)
 
         @jax.jit
         def _inv_pre(wav):

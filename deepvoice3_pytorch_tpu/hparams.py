@@ -107,12 +107,21 @@ def default_hparams():
         process_only_htk_aligned=False,
 
         # --- TPU-native additions (not in the reference) ---
-        griffin_lim_iters=30,       # on-device phase retrieval iterations
-                                    # (smallest count beating the lws-local
-                                    # quality baseline on the golden fixture
-                                    # — tools/gl_iters_sweep.py: sc 0.143 vs
-                                    # lws 0.159; 60 iters reaches 0.132 at
-                                    # 1.8x the vocoder cost)
+        griffin_lim_iters=16,       # on-device phase retrieval iterations
+                                    # (with the spsi phase init below, 16
+                                    # iters matches zero-phase@30 quality on
+                                    # the golden fixture — sc 0.144 vs lws
+                                    # 0.159 — at ~half the vocoder cost;
+                                    # sweep: tools/gl_iters_sweep.py)
+        griffin_lim_phase_init="spsi",  # "spsi": per-bin interpolated-
+                                    # frequency phase integration as the GL
+                                    # starting point (dsp/stft.py
+                                    # spsi_phase); "zero": classic |S| init
+        griffin_lim_momentum=0.9,   # fast-GL acceleration; 0.9 is measured
+                                    # best WITH the spsi init (sc 0.1394 vs
+                                    # 0.1442 at 0.99 @16 iters — a good
+                                    # start wants less extrapolation); the
+                                    # classic zero-phase start prefers 0.99
         max_decoder_steps=500,      # static decode length bound
         length_bucket_step=32,      # pad text lengths to multiples (recompile guard)
         frame_bucket_step=64,       # pad decoder lengths to multiples

@@ -75,7 +75,7 @@ def _load():
         lib.dv3_inv_spectrogram.argtypes = [
             fp, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
             ctypes.c_float, ctypes.c_float, ctypes.c_int, ctypes.c_float,
-            ctypes.c_float, fp]
+            ctypes.c_float, ctypes.c_int, fp]
         lib.dv3_npy_shape.restype = ctypes.c_int
         lib.dv3_npy_shape.argtypes = [ctypes.c_char_p, lp]
         lib.dv3_load_padded_batch.restype = ctypes.c_int
@@ -147,8 +147,11 @@ def features_batch(wavs, mel_basis, fft_size, hop_size, preemphasis=0.97,
 
 def inv_spectrogram(spec_nf, fft_size, hop_size, power=1.4,
                     min_level_db=-100.0, ref_level_db=20.0, n_iters=60,
-                    momentum=0.99, preemphasis=0.97):
-    """Normalized linear (n, F) -> waveform (n*hop,)."""
+                    momentum=0.99, preemphasis=0.97, phase_init="zero"):
+    """Normalized linear (n, F) -> waveform (n*hop,).
+
+    phase_init: "zero" (classic GL) or "spsi" (per-bin interpolated-
+    frequency integration — matches the device default, dsp/stft.py)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native DSP unavailable (no compiler?)")
@@ -157,7 +160,8 @@ def inv_spectrogram(spec_nf, fft_size, hop_size, power=1.4,
     wav = np.empty((n_frames * hop_size,), np.float32)
     lib.dv3_inv_spectrogram(_fptr(spec), n_frames, fft_size, hop_size, power,
                             min_level_db, ref_level_db, n_iters, momentum,
-                            preemphasis, _fptr(wav))
+                            preemphasis, 1 if phase_init == "spsi" else 0,
+                            _fptr(wav))
     return wav
 
 

@@ -170,10 +170,13 @@ void dv3_features(const float* y, long n, int fft, int hop,
 // (n_frames * hop samples). Full inverse pipeline: denormalize -> dB->amp ->
 // power raise -> momentum Griffin-Lim -> iSTFT -> inverse preemphasis
 // (reference audio.py:37-43; dsp/audio.py:_inv_spectrogram).
+// phase_init: 0 = zero phase (classic GL), 1 = SPSI-style per-bin
+// interpolated-frequency phase integration (dsp/stft.py:spsi_phase) — the
+// device default; halves the iterations needed for equal quality.
 void dv3_inv_spectrogram(const float* spec, int n_frames, int fft, int hop,
                          float power, float min_level_db, float ref_level_db,
                          int n_iters, float momentum, float preemph,
-                         float* wav_out) {
+                         int phase_init, float* wav_out) {
   const Stft stft(fft, hop);
   const int F = stft.n_freqs;
   const long NF = static_cast<long>(n_frames) * F;
@@ -189,7 +192,29 @@ void dv3_inv_spectrogram(const float* spec, int n_frames, int fft, int hop,
   // Griffin-Lim with momentum (dsp/stft.py:griffin_lim): c = S * phase,
   // t = STFT(iSTFT(c)), accelerated by t + momentum*(t - t_prev).
   std::vector<cf> c(NF), t(NF), t_prev(NF, cf(0.f, 0.f));
-  for (long i = 0; i < NF; ++i) c[i] = cf(S[i], 0.f);
+  if (phase_init == 1) {
+    // SPSI start (dsp/stft.py:spsi_phase): each bin's instantaneous
+    // frequency by quadratic interpolation of its magnitude triplet,
+    // phase integrated over frames (phi[f] = phi[f-1] + hop*omega).
+    const float two_pi = 6.28318530717958647692f;
+    std::vector<float> phi(F, 0.f);
+    for (int f = 0; f < n_frames; ++f) {
+      const float* m = S.data() + static_cast<long>(f) * F;
+      cf* cf_row = c.data() + static_cast<long>(f) * F;
+      for (int i = 0; i < F; ++i) {
+        const float l = m[i > 0 ? i - 1 : 0];
+        const float r = m[i < F - 1 ? i + 1 : F - 1];
+        const float denom = l - 2.0f * m[i] + r;
+        float p = (std::fabs(denom) > 1e-12f) ? 0.5f * (l - r) / denom : 0.f;
+        p = std::min(0.5f, std::max(-0.5f, p));
+        const float omega = two_pi * (static_cast<float>(i) + p) / fft;
+        phi[i] += hop * omega;
+        cf_row[i] = m[i] * cf(std::cos(phi[i]), std::sin(phi[i]));
+      }
+    }
+  } else {
+    for (long i = 0; i < NF; ++i) c[i] = cf(S[i], 0.f);
+  }
   std::vector<float> padded;
   for (int it = 0; it < n_iters; ++it) {
     stft.inverse(c.data(), n_frames, &padded);

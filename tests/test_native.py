@@ -65,13 +65,16 @@ def test_native_griffin_lim_matches_device(ap):
     lin = ap.spectrogram(wav)  # (F, n)
     wav_n = native.inv_spectrogram(lin.T, hp.fft_size, hp.hop_size, hp.power,
                                    hp.min_level_db, hp.ref_level_db,
-                                   n_iters=hp.griffin_lim_iters)
+                                   n_iters=hp.griffin_lim_iters,
+                                   momentum=hp.griffin_lim_momentum,
+                                   phase_init=hp.griffin_lim_phase_init)
     wav_j = ap.inv_spectrogram(lin)
     L = min(len(wav_n), len(wav_j))
     assert np.isfinite(wav_n).all()
     corr = np.corrcoef(wav_n[:L], wav_j[:L])[0, 1]
-    # both GLs share raw-OLA semantics but differ in FFT backends (f32
-    # matmul-DFT vs radix rfft); 60 fixed-point iterations amplify fp noise
+    # both GLs share raw-OLA semantics AND the SPSI phase init but differ
+    # in FFT backends (f32 matmul-DFT vs radix rfft); the fixed-point
+    # iterations amplify fp noise
     assert corr > 0.995, corr
 
 
