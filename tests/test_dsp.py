@@ -148,3 +148,46 @@ def test_audio_processor_batched_inversion():
     assert linear.shape[0] == 2 and linear.shape[-1] == 513
     wavs = ap.inv_spectrogram_batch(linear)
     assert wavs.shape[0] == 2
+
+
+def test_spsi_phase_shapes_and_batching():
+    """spsi_phase is shape-polymorphic: (n, F) and (B, n, F) agree per
+    item, output is finite, and the frame-axis integration is an
+    inclusive cumsum (frame 0 already carries one hop of advance)."""
+    rs = np.random.RandomState(0)
+    m = rs.rand(2, 37, 513).astype(np.float32)  # odd frame count
+    phi_b = np.asarray(dsp.spsi_phase(jnp.asarray(m), 1024, 256))
+    assert phi_b.shape == m.shape and np.isfinite(phi_b).all()
+    phi_0 = np.asarray(dsp.spsi_phase(jnp.asarray(m[0]), 1024, 256))
+    np.testing.assert_allclose(phi_b[0], phi_0, rtol=1e-6)
+    # inclusive integration: frame f phase ~ (f+1) * hop * omega
+    np.testing.assert_allclose(phi_b[:, 1] - phi_b[:, 0],
+                               phi_b[:, 0], rtol=0.51)
+
+
+def test_spsi_phase_silence_and_flat_are_finite():
+    """All-zero and flat magnitudes hit the interpolation guard
+    (denom == 0): p must clamp to 0, phases stay finite."""
+    for m in (np.zeros((5, 513), np.float32),
+              np.ones((5, 513), np.float32)):
+        phi = np.asarray(dsp.spsi_phase(jnp.asarray(m), 1024, 256))
+        assert np.isfinite(phi).all()
+        # flat spectrum => p == 0 => omega = 2*pi*k/fft exactly
+        k = np.arange(513)
+        want = np.cumsum(np.tile(256 * 2 * np.pi * k / 1024, (5, 1)),
+                         axis=0)
+        np.testing.assert_allclose(phi, want.astype(np.float32), rtol=1e-4)
+
+
+def test_spsi_pure_tone_phase_advance():
+    """A stationary pure tone's estimated phase advances by ~hop*omega_true
+    per frame at the peak bin — the property that makes the init good."""
+    sr, f0 = 22050, 440.0
+    x = np.sin(2 * np.pi * f0 * np.arange(4 * 1024) / sr).astype(np.float32)
+    win = jnp.asarray(dsp.sqrt_hann_window(1024))
+    S = jnp.abs(dsp.stft(jnp.asarray(x), 1024, 256, win))
+    phi = np.asarray(dsp.spsi_phase(S, 1024, 256))
+    peak = int(np.argmax(np.asarray(S)[5]))
+    d = np.diff(phi[3:9, peak])
+    want = 256 * 2 * np.pi * f0 / sr
+    np.testing.assert_allclose(d, want, rtol=0.02)
