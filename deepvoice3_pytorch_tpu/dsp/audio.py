@@ -38,6 +38,8 @@ class AudioProcessor:
         self.gl_iters = getattr(hp, "griffin_lim_iters", 60)
         self.gl_matmul_dtype = (getattr(hp, "griffin_lim_matmul_dtype", "")
                                 or None)
+        self.gl_carry_dtype = (getattr(hp, "griffin_lim_carry_dtype", "")
+                               or None)
         self.gl_phase_init = getattr(hp, "griffin_lim_phase_init", "zero")
         self.gl_momentum = float(getattr(hp, "griffin_lim_momentum", 0.99))
         self.rescaling = getattr(hp, "rescaling", False)
@@ -139,7 +141,8 @@ class AudioProcessor:
                                    mats=mats, center=centered,
                                    momentum=self.gl_momentum,
                                    matmul_dtype=self.gl_matmul_dtype,
-                                   phase_init=self.gl_phase_init)
+                                   phase_init=self.gl_phase_init,
+                                   carry_dtype=self.gl_carry_dtype)
 
         @jax.jit
         def _inv_pre(wav):

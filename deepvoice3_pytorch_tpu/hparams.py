@@ -138,6 +138,15 @@ def default_hparams():
                                     # measured NEUTRAL on v5e
                                     # (tools/gl_bf16_probe.py), kept for
                                     # other TPU generations
+        griffin_lim_carry_dtype="bfloat16",  # store the GL scan carry and
+                                    # frames/x/f2 intermediates in bf16
+                                    # (matmuls consume native-bf16 operands
+                                    # with f32 accumulation; momentum/
+                                    # magnitude projection stay f32):
+                                    # 29.2 -> 24.5 ms at bench shapes on
+                                    # v5e at equal-or-better golden-fixture
+                                    # quality (tools/gl_bf16carry_probe.py).
+                                    # "" = keep everything float32.
     )
 
 
