@@ -116,7 +116,18 @@ class AudioProcessor:
             S = dsp.db_to_amp(dsp.denormalize(spec, mld) + rld)
             return S ** power
 
-        use_pallas_gl = os.environ.get("DV3_PALLAS_GL") == "1"
+        # Phase-retrieval backend selection (static at trace time):
+        #   * DEFAULT on TPU: the whole-retrieval Pallas kernel — measured
+        #     1.68x the XLA-scan loop at batch-32 bench shapes at equal
+        #     quality (dsp/gl_pallas.py header). DV3_PALLAS_GL=0 forces
+        #     the XLA loop; DV3_PALLAS_GL=1 forces the kernel off-TPU
+        #     (interpret mode — correctness only, slow).
+        #   * elsewhere (CPU tests, non-lws research configs): the XLA
+        #     scan (stft.py:griffin_lim).
+        env_gl = os.environ.get("DV3_PALLAS_GL", "")
+        use_pallas_gl = (env_gl == "1"
+                         or (env_gl != "0"
+                             and jax.default_backend() == "tpu"))
         use_lws_phase = self.phase_retrieval == "lws"
 
         @jax.jit
@@ -126,16 +137,12 @@ class AudioProcessor:
                 return lws_run(S, fft, hop, self.window_np,
                                n_iters=self.gl_iters, center=centered,
                                mats=mats)
-            if use_pallas_gl and S.ndim == 3:
-                # whole-retrieval Pallas kernel: ~30x faster compile but
-                # ~5x slower runtime at batch-32 shapes (measured; see
-                # dsp/gl_pallas.py header) — opt-in only. Always starts
-                # zero-phase (griffin_lim_phase_init is ignored), so pair
-                # it with griffin_lim_iters>=30 for default-path quality.
+            if use_pallas_gl and S.ndim in (2, 3):
                 from .gl_pallas import griffin_lim_pallas
                 return griffin_lim_pallas(S, fft, hop, win,
                                           n_iters=self.gl_iters, mats=mats,
                                           momentum=self.gl_momentum,
+                                          phase_init=self.gl_phase_init,
                                           center=centered)
             return dsp.griffin_lim(S, fft, hop, win, n_iters=self.gl_iters,
                                    mats=mats, center=centered,

@@ -1,34 +1,49 @@
 # coding: utf-8
-"""Griffin-Lim as a single Pallas TPU kernel.
+"""Griffin-Lim phase retrieval as a single whole-retrieval Pallas TPU kernel.
 
-Runs the whole phase retrieval with everything VMEM-resident per batch
-item. MEASURED VERDICT (v5e, batch-32 LJSpeech shapes, properly fenced):
-this kernel is ~5x SLOWER at runtime than the XLA-scan path
-(483 ms vs 88 ms per batch at 60 iterations) — the (B,) grid runs items
-across just two megacores with per-item (600x513)@(513x1024) matmuls,
-while XLA batches all 32 items into large GEMMs. Its remaining advantage
-is compile time (~30x faster than the scan's XLA optimization at these
-shapes), so it stays an opt-in (DV3_PALLAS_GL=1) for compile-latency-
-sensitive uses; the XLA path is the default and the benchmarked one.
+This is the DEFAULT vocoder path on TPU (see dsp/audio.py). Measured on
+v5e at LJSpeech bench shapes, (32, 600, 513) x 16 iterations, properly
+fenced: **14.5 ms vs 24.4 ms** for the XLA-scan loop (stft.py:griffin_lim
+with the bf16 carry) at equal golden-fixture quality (spectral
+convergence 0.1412 vs 0.1395; the lws-parity bar is 0.159) — 1.68x.
+Probe history in tools/gl_pallas2_probe.py.
 
-Layout:
+Why it wins (and why the retired v1 kernel lost): the loop is
+HBM-bandwidth-bound. Each grid step keeps ONE batch item's entire
+retrieval state resident in VMEM across ALL iterations — HBM traffic is
+one read of |S| and one write of the waveform — and every DFT matmul runs
+bf16 operands with f32 accumulation on the MXU (~17 us per item-iteration
+vs 252 us for the v1 kernel's all-f32 dots). The SPSI phase init also
+lives in-kernel: the XLA-side version costs 6.7 ms of fixed time at bench
+shapes (lane-axis concats + 8 elementwise HBM passes over a 39 MB
+tensor); in VMEM it is two rolls, one triangular-matmul cumsum and a
+cos/sin.
 
-  grid = (B,) — one item per grid step (parallel across megacores);
-  scratch: spectrum re/im + previous-projection re/im (n, F), the
-  overlap-add buffer (n+k-1, hop); inputs: the item's magnitudes, the DFT
-  matrices (runtime args — constants would blow up compile), the window and
-  the precomputed squared-window OLA normalizer.
+Numerical notes:
+  * carries (spectrum re/im + previous projection re/im) are stored
+    bf16; momentum and the magnitude projection (rsqrt) compute in f32 —
+    same recipe as the XLA path's carry_dtype="bfloat16" mode.
+  * the SPSI frame-axis cumsum is an f32 triangular matmul whose
+    per-frame phase increments are wrapped mod 2pi FIRST: the cumulative
+    sums then differ only by multiples of 2pi (cos/sin unchanged) but
+    stay ~200x smaller, preserving phase precision through the
+    MXU's emulated-f32 accumulation (unwrapped, phi reaches 8e2*n rad
+    and quality degrades to sc 0.1551).
+  * boundary semantics: frames are re-taken from the raw overlap-add
+    signal on the analysis timeline — identical to the XLA path, which
+    re-frames the same raw OLA signal; `center` only selects the final
+    trim. Re-framing is k per-chunk matmuls against row slices of the
+    DFT matrices (lane-axis concatenate is unimplemented in Mosaic).
 
-Per iteration: iDFT matmuls -> windowed overlap-add (sublane-offset
-accumulate, no scatter) -> re-framing expressed as k per-chunk matmuls
-against row-slices of the DFT matrices (no lane concat — unimplemented in
-Mosaic) -> momentum phase update. HBM traffic per item: read |S| once,
-write the waveform once.
+VMEM: the per-item working set (4 bf16 spectra, the f32 OLA buffer, the
+bf16 DFT matrices, and the matmul operands) is ~13 MB at n=600 — the
+scoped-vmem limit is derived from the attached device so small-VMEM
+generations fail with a clear budget error up front (round-2 advisor
+finding); bench shapes want a >=64 MB-VMEM part (v4/v5-class).
 
-Boundary semantics: frames are taken from the raw overlap-add signal on
-the analysis timeline — identical to the XLA path (stft.py:griffin_lim),
-which re-frames the same raw OLA signal; both are framing-convention
-agnostic inside the loop (validated in tests against the XLA path).
+Replaces the lws phase-retrieval call in the reference's inversion chain
+(reference audio.py:37-43) — quality equivalence is measured against the
+clean-room lws golden model in tests/test_dsp_golden.py.
 """
 
 import numpy as np
@@ -44,9 +59,7 @@ from . import stft as dsp
 def _device_vmem_budget():
     """Scoped-vmem limit for the kernel, derived from the attached device:
     ~78% of core VMEM (leaves compiler headroom), falling back to 100 MB
-    (v4/v5-class) when the platform doesn't report capacity. On 16 MB-VMEM
-    generations this makes Mosaic reject the launch with a budget error up
-    front instead of crashing mid-compile (round-2 advisor finding)."""
+    (v4/v5-class) when the platform doesn't report capacity."""
     try:
         d = jax.devices()[0]
         cap = int(d.memory_stats().get("vmem_size_bytes", 0))
@@ -58,96 +71,133 @@ def _device_vmem_budget():
 
 
 def _ola_norm(n_frames, fft_size, hop, window):
-    """Squared-window overlap-add normalizer in (n+k-1, hop) block layout."""
+    """Squared-window overlap-add normalizer in (n+k-1, hop) block layout,
+    pre-inverted (the kernel multiplies)."""
     k = fft_size // hop
     nb = n_frames + k - 1
     norm = np.zeros((nb, hop), np.float32)
     w2 = (window * window).reshape(k, hop)
     for c in range(k):
         norm[c:c + n_frames, :] += w2[c]
-    return np.maximum(norm, 1e-8)
+    return 1.0 / np.maximum(norm, 1e-8)
 
 
-def _make_kernel(n, fft, hop, n_bins, n_iters, momentum):
+def _make_kernel(n, fft, hop, n_bins, n_iters, momentum, phase_init):
     k = fft // hop
     nb = n + k - 1
-    eps = 1e-16
+    eps2 = 1e-30
+    F = n_bins
+    bf16 = jnp.bfloat16
+    momentum = np.float32(momentum)
 
-    def kernel(s_ref, m0_ref, m1_ref, m2_ref, m3_ref, win_ref, norm_ref,
-               out_ref, cre_ref, cim_ref, tpre_ref, tpim_ref, y_ref):
-        S = s_ref[0]                                     # (n, F)
-        win = win_ref[...]                               # (k, hop)
-        norm = norm_ref[...]                             # (nb, hop)
+    def kernel(s_ref, m0_ref, m1_ref, m2_ref, m3_ref, win_ref, inorm_ref,
+               out_ref, cre_ref, cim_ref, tpre_ref, tpim_ref):
+        S = s_ref[0]                                  # (n, F) f32
+        win = win_ref[...]                            # (k, hop) f32
+        inorm = inorm_ref[...]                        # (nb, hop) f32
 
-        cre_ref[...] = S
-        cim_ref[...] = jnp.zeros_like(S)
-        tpre_ref[...] = jnp.zeros_like(S)
-        tpim_ref[...] = jnp.zeros_like(S)
+        if phase_init == "spsi":
+            # In-kernel SPSI (mirrors stft.py:spsi_phase): per-bin
+            # instantaneous frequency by parabolic interpolation of the
+            # magnitude triplet, integrated hop*omega per frame.
+            col = jax.lax.broadcasted_iota(jnp.int32, (n, F), 1)
+            # lane-axis neighbor shifts via circular roll + edge
+            # replicate fix-up (no lane concat in Mosaic)
+            left = jnp.where(col == 0, S, pltpu.roll(S, shift=1, axis=1))
+            right = jnp.where(col == F - 1, S,
+                              pltpu.roll(S, shift=F - 1, axis=1))
+            denom = left - 2.0 * S + right
+            p = jnp.where(jnp.abs(denom) > 1e-12,
+                          0.5 * (left - right) / jnp.where(
+                              jnp.abs(denom) > 1e-12, denom, 1.0), 0.0)
+            p = jnp.clip(p, -0.5, 0.5)
+            kk = col.astype(jnp.float32)  # Mosaic iota is int-only
+            omega = (2.0 * np.pi * hop / fft) * (kk + p)   # rad/frame
+            # wrap increments mod 2pi BEFORE the cumsum (see header)
+            two_pi = np.float32(2.0 * np.pi)
+            omega = omega - two_pi * jnp.floor(omega / two_pi)
+            row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+            colr = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+            tri = (row >= colr).astype(jnp.float32)  # inclusive cumsum
+            phi = jnp.dot(tri, omega, preferred_element_type=jnp.float32)
+            cre_ref[...] = (S * jnp.cos(phi)).astype(bf16)
+            cim_ref[...] = (S * jnp.sin(phi)).astype(bf16)
+        else:  # zero phase (classic)
+            cre_ref[...] = S.astype(bf16)
+            cim_ref[...] = jnp.zeros((n, F), bf16)
+        tpre_ref[...] = jnp.zeros((n, F), bf16)
+        tpim_ref[...] = jnp.zeros((n, F), bf16)
 
-        def synth_frames(re, im):
-            """(n, F) spectrum -> windowed frames -> OLA into y_ref.
-
-            The overlap-add is a sum of statically-padded chunks — static
-            slices/pads only (Mosaic has no dynamic_slice on values)."""
-            frames = (jnp.dot(re, m2_ref[...],
+        def synth(re_b, im_b):
+            """bf16 spectrum -> normalized OLA signal y (nb, hop) f32.
+            Static slices/pads only (no dynamic_slice on values)."""
+            frames = (jnp.dot(re_b, m2_ref[...],
                               preferred_element_type=jnp.float32)
-                      + jnp.dot(im, m3_ref[...],
+                      + jnp.dot(im_b, m3_ref[...],
                                 preferred_element_type=jnp.float32))
             y = jnp.zeros((nb, hop), jnp.float32)
             for c in range(k):
                 chunk = frames[:, c * hop:(c + 1) * hop] * win[c][None, :]
                 y = y + jnp.pad(chunk, ((c, nb - n - c), (0, 0)))
-            y_ref[...] = y / norm
+            return y * inorm
 
         def body(i, _):
-            synth_frames(cre_ref[...], cim_ref[...])
-            y = y_ref[...]
-            # re-analysis: frame f = rows f..f+k-1 of y; windowed DFT as k
-            # per-chunk matmuls against DFT row slices (no lane concat)
-            tre = jnp.zeros((n, n_bins), jnp.float32)
-            tim = jnp.zeros((n, n_bins), jnp.float32)
+            y = synth(cre_ref[...], cim_ref[...])
+            # re-analysis: frame f = rows f..f+k-1 of y
+            tre = jnp.zeros((n, F), jnp.float32)
+            tim = jnp.zeros((n, F), jnp.float32)
             for c in range(k):
-                chunk = y[c:c + n, :] * win[c][None, :]
+                chunk = (y[c:c + n, :] * win[c][None, :]).astype(bf16)
                 tre = tre + jnp.dot(
                     chunk, m0_ref[c * hop:(c + 1) * hop, :],
                     preferred_element_type=jnp.float32)
                 tim = tim + jnp.dot(
                     chunk, m1_ref[c * hop:(c + 1) * hop, :],
                     preferred_element_type=jnp.float32)
-            a_re = tre + momentum * (tre - tpre_ref[...])
-            a_im = tim + momentum * (tim - tpim_ref[...])
-            mag = jnp.maximum(jnp.sqrt(a_re * a_re + a_im * a_im), eps)
-            cre_ref[...] = S * a_re / mag
-            cim_ref[...] = S * a_im / mag
-            tpre_ref[...] = tre
-            tpim_ref[...] = tim
+            # momentum + magnitude projection in f32
+            a_re = tre + momentum * (tre - tpre_ref[...].astype(jnp.float32))
+            a_im = tim + momentum * (tim - tpim_ref[...].astype(jnp.float32))
+            scale = S * jax.lax.rsqrt(a_re * a_re + a_im * a_im + eps2)
+            cre_ref[...] = (a_re * scale).astype(bf16)
+            cim_ref[...] = (a_im * scale).astype(bf16)
+            tpre_ref[...] = tre.astype(bf16)
+            tpim_ref[...] = tim.astype(bf16)
             return 0
 
         jax.lax.fori_loop(0, n_iters, body, 0)
-        synth_frames(cre_ref[...], cim_ref[...])
-        out_ref[0] = y_ref[...]
+        out_ref[0] = synth(cre_ref[...], cim_ref[...])
 
     return kernel, nb
 
 
 def griffin_lim_pallas(magnitude, fft_size, hop, window, *, n_iters=60,
                        momentum=0.99, length=None, mats=None,
-                       interpret=None, center=True):
-    """Drop-in for dsp.griffin_lim on TPU. magnitude: (B, n, F) -> (B, T).
-    center selects the final trim only (see dsp.griffin_lim)."""
+                       interpret=None, center=True, phase_init="zero"):
+    """Drop-in for dsp.griffin_lim on TPU (bf16 carry semantics).
+
+    magnitude: (B, n, F) or (n, F) -> (B, T) / (T,).
+    phase_init: "spsi" (in-kernel, production default via hparams) or
+        "zero". center selects the final trim only (see dsp.griffin_lim).
+    """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if mats is None:
         mats = tuple(jnp.asarray(m) for m in dsp.dft_mats(fft_size))
-    assert magnitude.ndim == 3, "pallas GL expects batched (B, n, F) input"
+    squeeze = magnitude.ndim == 2
+    if squeeze:
+        magnitude = magnitude[None]
+    assert magnitude.ndim == 3, "pallas GL expects (B, n, F) input"
     B, n, F = magnitude.shape
     k = fft_size // hop
     assert fft_size % hop == 0
 
-    kernel, nb = _make_kernel(n, fft_size, hop, F, n_iters, momentum)
-    win2d = jnp.asarray(np.asarray(window, np.float32).reshape(k, hop))
-    norm = jnp.asarray(_ola_norm(n, fft_size, hop,
-                                 np.asarray(window, np.float32)))
+    kernel, nb = _make_kernel(n, fft_size, hop, F, n_iters, momentum,
+                              phase_init)
+    win_np = np.asarray(window, np.float32)
+    win2d = jnp.asarray(win_np.reshape(k, hop))
+    inorm = jnp.asarray(_ola_norm(n, fft_size, hop, win_np))
+    bf16 = jnp.bfloat16
+    mats_b = tuple(m.astype(bf16) for m in mats)
 
     def full():
         return pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -162,26 +212,20 @@ def griffin_lim_pallas(magnitude, fft_size, hop, window, *, n_iters=60,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, nb, hop), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((n, F), jnp.float32),      # c_re
-            pltpu.VMEM((n, F), jnp.float32),      # c_im
-            pltpu.VMEM((n, F), jnp.float32),      # t_prev re
-            pltpu.VMEM((n, F), jnp.float32),      # t_prev im
-            pltpu.VMEM((nb, hop), jnp.float32),   # OLA buffer
+            pltpu.VMEM((n, F), bf16),   # c_re
+            pltpu.VMEM((n, F), bf16),   # c_im
+            pltpu.VMEM((n, F), bf16),   # t_prev re
+            pltpu.VMEM((n, F), bf16),   # t_prev im
         ],
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
+        compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            # the per-item working set (4 spectra + OLA buffer + DFT mats)
-            # crosses Mosaic's default 16 MB scoped-vmem limit at LJSpeech
-            # bench shapes (n=600 -> 16.02 MB). The limit is derived from
-            # the attached device so the opt-in kernel fails with a clear
-            # budget error (not a Mosaic crash) on small-VMEM generations;
-            # it needs a >=64 MB-VMEM part (v4/v5-class) at bench shapes.
             vmem_limit_bytes=_device_vmem_budget()),
-    )(magnitude.astype(jnp.float32), *mats, win2d, norm)
+    )(magnitude.astype(jnp.float32), *mats_b, win2d, inorm)
 
     wav = out.reshape(B, nb * hop)
     if center:
         wav = wav[:, fft_size // 2:]
     T = length if length is not None else hop * n
-    return wav[:, :T]
+    wav = wav[:, :T]
+    return wav[0] if squeeze else wav

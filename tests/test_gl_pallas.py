@@ -56,3 +56,31 @@ def test_pallas_gl_length_trim():
     wav = griffin_lim_pallas(S, FFT, HOP, win, n_iters=2, length=5000,
                              interpret=True)
     assert wav.shape == (2, 5000)
+
+
+def test_pallas_gl_spsi_matches_xla_bf16_carry():
+    """With the SPSI init + bf16 carry the kernel computes the SAME
+    algorithm as the XLA path (stft.py:griffin_lim with phase_init='spsi',
+    carry_dtype='bfloat16') — waveforms must agree to bf16 round-off
+    (divergence amplified by a few iterations of the fixed point)."""
+    rs = np.random.RandomState(0)
+    S = jnp.asarray((rs.rand(2, 37, 513) ** 2).astype(np.float32))
+    win = jnp.asarray(dsp.lws_hann_window(FFT, HOP))
+    wav_k = np.asarray(griffin_lim_pallas(
+        S, FFT, HOP, win, n_iters=4, momentum=0.9, phase_init="spsi",
+        center=False, interpret=True))
+    wav_x = np.asarray(dsp.griffin_lim(
+        S, FFT, HOP, win, n_iters=4, momentum=0.9, phase_init="spsi",
+        carry_dtype="bfloat16", center=False))
+    assert wav_k.shape == wav_x.shape
+    d = np.abs(wav_k - wav_x).max() / max(np.abs(wav_x).max(), 1e-9)
+    assert d < 0.06, d
+
+
+def test_pallas_gl_2d_input_squeeze():
+    S, win = _mag_batch()
+    wav_b = griffin_lim_pallas(S, FFT, HOP, win, n_iters=2, interpret=True)
+    wav_1 = griffin_lim_pallas(S[0], FFT, HOP, win, n_iters=2,
+                               interpret=True)
+    assert wav_1.ndim == 1
+    assert np.allclose(np.asarray(wav_1), np.asarray(wav_b[0]))

@@ -197,9 +197,15 @@ def test_dp_synthesis_matches_single_device():
         # atol covers fp reassociation from the padded batch shape (B=4 vs
         # B=3 changes XLA fusion); measured max diff 6.5e-5 on the
         # denormalized dB-scale spectrograms
-        for k in ("waveform", "mel", "linear", "alignment"):
+        for k in ("mel", "linear", "alignment"):
             np.testing.assert_allclose(g[k], w[k], atol=3e-4, rtol=0,
                                        err_msg="dp synthesis %s" % k)
+        # the waveform additionally passes through the bf16-carry GL
+        # fixed point (hparams griffin_lim_carry_dtype default), whose
+        # rounding diverges between the B=4 and B=3 programs — measured
+        # max diff 1.2e-2 on the ±4-scale signal
+        np.testing.assert_allclose(g["waveform"], w["waveform"], atol=5e-2,
+                                   rtol=0, err_msg="dp synthesis waveform")
 
 
 def test_dp_fused_synthesis_matches_single_device():
@@ -230,9 +236,14 @@ def test_dp_fused_synthesis_matches_single_device():
     assert len(got) == len(want) == 3
     for g, w in zip(got, want):
         assert g["num_decoder_steps"] == w["num_decoder_steps"]
-        for k in ("waveform", "mel", "linear", "alignment"):
+        for k in ("mel", "linear", "alignment"):
             np.testing.assert_allclose(g[k], w[k], atol=3e-4, rtol=0,
                                        err_msg="dp fused synthesis %s" % k)
+        # waveform tolerance: bf16-carry GL rounding diverges between the
+        # padded B=4 and B=3 programs (see the dp test above)
+        np.testing.assert_allclose(g["waveform"], w["waveform"], atol=5e-2,
+                                   rtol=0,
+                                   err_msg="dp fused synthesis waveform")
 
 
 def test_checkpoint_resume_under_mesh(tmp_path):
