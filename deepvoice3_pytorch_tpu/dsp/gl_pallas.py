@@ -82,7 +82,8 @@ def _ola_norm(n_frames, fft_size, hop, window):
     return 1.0 / np.maximum(norm, 1e-8)
 
 
-def _make_kernel(n, fft, hop, n_bins, n_iters, momentum, phase_init):
+def _make_kernel(n, fft, hop, n_bins, n_iters, momentum, phase_init,
+                 fold_windows):
     k = fft // hop
     nb = n + k - 1
     eps2 = 1e-30
@@ -137,7 +138,9 @@ def _make_kernel(n, fft, hop, n_bins, n_iters, momentum, phase_init):
                                 preferred_element_type=jnp.float32))
             y = jnp.zeros((nb, hop), jnp.float32)
             for c in range(k):
-                chunk = frames[:, c * hop:(c + 1) * hop] * win[c][None, :]
+                chunk = frames[:, c * hop:(c + 1) * hop]
+                if not fold_windows:
+                    chunk = chunk * win[c][None, :]
                 y = y + jnp.pad(chunk, ((c, nb - n - c), (0, 0)))
             return y * inorm
 
@@ -147,7 +150,10 @@ def _make_kernel(n, fft, hop, n_bins, n_iters, momentum, phase_init):
             tre = jnp.zeros((n, F), jnp.float32)
             tim = jnp.zeros((n, F), jnp.float32)
             for c in range(k):
-                chunk = (y[c:c + n, :] * win[c][None, :]).astype(bf16)
+                if fold_windows:
+                    chunk = y[c:c + n, :].astype(bf16)
+                else:
+                    chunk = (y[c:c + n, :] * win[c][None, :]).astype(bf16)
                 tre = tre + jnp.dot(
                     chunk, m0_ref[c * hop:(c + 1) * hop, :],
                     preferred_element_type=jnp.float32)
@@ -172,12 +178,20 @@ def _make_kernel(n, fft, hop, n_bins, n_iters, momentum, phase_init):
 
 def griffin_lim_pallas(magnitude, fft_size, hop, window, *, n_iters=60,
                        momentum=0.99, length=None, mats=None,
-                       interpret=None, center=True, phase_init="zero"):
+                       interpret=None, center=True, phase_init="zero",
+                       fold_windows=True):
     """Drop-in for dsp.griffin_lim on TPU (bf16 carry semantics).
 
     magnitude: (B, n, F) or (n, F) -> (B, T) / (T,).
     phase_init: "spsi" (in-kernel, production default via hparams) or
         "zero". center selects the final trim only (see dsp.griffin_lim).
+    fold_windows: pre-multiply the synthesis/analysis windows into the
+        bf16 DFT matrices (same exact transform the XLA path applies) —
+        removes 2k per-chunk VPU multiplies per iteration. Measured
+        NEUTRAL on v5e (13.31 vs 13.40 ms at bench shapes): unlike the
+        XLA loop, where folding saved 5.7% of HBM traffic, the kernel's
+        operands already live in VMEM, so the multiplies it removes were
+        nearly free. Kept on (fewer ops, identical quality bars).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -192,12 +206,23 @@ def griffin_lim_pallas(magnitude, fft_size, hop, window, *, n_iters=60,
     assert fft_size % hop == 0
 
     kernel, nb = _make_kernel(n, fft_size, hop, F, n_iters, momentum,
-                              phase_init)
+                              phase_init, fold_windows)
     win_np = np.asarray(window, np.float32)
     win2d = jnp.asarray(win_np.reshape(k, hop))
     inorm = jnp.asarray(_ola_norm(n, fft_size, hop, win_np))
     bf16 = jnp.bfloat16
-    mats_b = tuple(m.astype(bf16) for m in mats)
+    if fold_windows:
+        wcol = jnp.asarray(win_np)
+        # m0/m1 are (fft, F): scale rows by the analysis window;
+        # m2/m3 are (F, fft): scale columns by the synthesis window.
+        mats_b = (
+            (mats[0] * wcol[:, None]).astype(bf16),
+            (mats[1] * wcol[:, None]).astype(bf16),
+            (mats[2] * wcol[None, :]).astype(bf16),
+            (mats[3] * wcol[None, :]).astype(bf16),
+        )
+    else:
+        mats_b = tuple(m.astype(bf16) for m in mats)
 
     def full():
         return pl.BlockSpec(memory_space=pltpu.VMEM)
