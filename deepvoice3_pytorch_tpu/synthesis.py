@@ -171,6 +171,9 @@ def tts_batch(params, cfg, ap: AudioProcessor, frontend_mod, texts, *,
     # max_decoder_steps. The tiny (B,)-int fetch is the only host sync.
     # Bucketing (+ receptive-field slack) bounds recompiles and keeps the
     # converter's edge frames identical for every real frame.
+    # (measured: skipping this fetch for early_exit=False is NOT a win —
+    # the done-derived lengths still trim the converter/vocoder work even
+    # on fixed-length decodes, which is worth far more than the ~ms sync)
     n_dec_max = int(np.asarray(dec_lengths).max())
     n_bucket = min(max_decoder_steps,
                    _round_up(n_dec_max + SLACK_DEC_STEPS, BUCKET_DEC_STEPS))
