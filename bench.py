@@ -352,7 +352,50 @@ def bench_trained_early_exit(ckpt_path=None, n_timed=5):
         "rtf": round(audio_s / wall, 2),
         "ms_per_batch_device": round(wall * 1000.0, 2),
     })
+    if os.environ.get("DV3_BENCH_STREAMING", "1") != "0":
+        out["streaming"] = bench_streaming(params, cfg, hp, ap)
     return out
+
+
+def bench_streaming(params, cfg, hp, ap, n_timed=5):
+    """Time-to-first-audio (TTFA) of the streaming synthesizer
+    (deepvoice3_pytorch_tpu/streaming.py) on the trained checkpoint — the
+    interactive-serving latency metric the batch pipeline cannot offer:
+    the batch path returns nothing until the whole utterance is done,
+    while tts_stream plays its first samples after one short decode chunk
+    + a windowed converter + one windowed phase-coherent Griffin-Lim.
+
+    TTFA here includes every dev-tunnel program-dispatch round trip; on a
+    PCIe-attached production host those are microseconds."""
+    from deepvoice3_pytorch_tpu import streaming
+    from deepvoice3_pytorch_tpu.frontend import en
+
+    texts = [SENTENCES[0]]               # B=1: the serving-latency case
+
+    def run(collect=False):
+        gen = streaming.tts_stream(params, cfg, ap, en, texts,
+                                   max_decoder_steps=200, first_chunk=16)
+        t0 = time.perf_counter()
+        first = next(gen)
+        ttfa = time.perf_counter() - t0
+        chunks = [first] + list(gen)
+        total = time.perf_counter() - t0
+        n_samples = sum(c["audio"].shape[1] for c in chunks)
+        return ttfa, total, n_samples, chunks[0]["audio"].shape[1]
+
+    run()                                # warmup: compiles all programs
+    best = min((run() for _ in range(n_timed)),
+               key=lambda r: r[0])
+    ttfa, total, n_samples, first_n = best
+    audio_s = n_samples / hp.sample_rate
+    return {
+        "batch": 1,
+        "ttfa_ms": round(ttfa * 1000.0, 2),
+        "first_chunk_audio_ms": round(first_n / hp.sample_rate * 1000.0, 1),
+        "stream_total_ms": round(total * 1000.0, 2),
+        "audio_seconds": round(audio_s, 2),
+        "rtf": round(audio_s / total, 2),
+    }
 
 
 def bench_vctk_multispeaker(B, T_DEC, n_timed=5):

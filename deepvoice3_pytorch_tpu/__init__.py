@@ -14,3 +14,11 @@ from . import builder  # noqa: F401
 from .builder import (  # noqa: F401
     TTSModelConfig, deepvoice3, nyanko, deepvoice3_multispeaker,
     model_init, model_forward, model_synthesize)
+
+
+def tts_stream(*args, **kwargs):
+    """Streaming synthesis generator — see streaming.tts_stream (lazy
+    import: the streaming module pulls in the fused-decode kernel)."""
+    from . import streaming
+
+    return streaming.tts_stream(*args, **kwargs)

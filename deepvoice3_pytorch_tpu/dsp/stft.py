@@ -336,7 +336,8 @@ def spsi_phase(magnitude, fft_size, hop):
 
 def griffin_lim(magnitude, fft_size, hop, window, *, n_iters=60,
                 momentum=0.99, length=None, mats=None, center=True,
-                matmul_dtype=None, phase_init=None, carry_dtype=None):
+                matmul_dtype=None, phase_init=None, carry_dtype=None,
+                init_spec=None, return_spec=False, pinned_prefix=None):
     """Phase retrieval from |S| via fast Griffin-Lim (Perraudin et al. 2013),
     the momentum-accelerated fixed point of the same consistency projection
     LWS solves locally (reference audio.py:37-43's run_lws; quality
@@ -421,6 +422,25 @@ def griffin_lim(magnitude, fft_size, hop, window, *, n_iters=60,
         f2 = _frame(x, fft_size, hop, center=False)
         return _mm(f2, m_fwd_re), _mm(f2, m_fwd_im)      # f32 out
 
+    if pinned_prefix is not None:
+        # boundary condition for streaming windows: the first n_pin frames
+        # are already-emitted audio — hold them fixed through every
+        # iteration so the retrieved suffix stays consistent with what was
+        # played (streaming.StreamingVocoder)
+        pin_re = pinned_prefix[0].astype(jnp.float32)
+        pin_im = pinned_prefix[1].astype(jnp.float32)
+        n_pin = pin_re.shape[-2]
+
+        def _pin(re, im):
+            re = jnp.concatenate([pin_re.astype(re.dtype),
+                                  re[..., n_pin:, :]], axis=-2)
+            im = jnp.concatenate([pin_im.astype(im.dtype),
+                                  im[..., n_pin:, :]], axis=-2)
+            return re, im
+    else:
+        def _pin(re, im):
+            return re, im
+
     def body(carry, _):
         c_re, c_im, tp_re, tp_im = carry
         t_re, t_im = project(c_re, c_im)
@@ -429,13 +449,22 @@ def griffin_lim(magnitude, fft_size, hop, window, *, n_iters=60,
         a_im = t_im + momentum * (t_im - tp_im.astype(jnp.float32))
         mag = jnp.maximum(jnp.sqrt(a_re * a_re + a_im * a_im), eps)
         c_re, c_im = S * a_re / mag, S * a_im / mag
+        c_re, c_im = _pin(c_re, c_im)
         if cd is not None:
             c_re, c_im = c_re.astype(cd), c_im.astype(cd)
             t_re, t_im = t_re.astype(cd), t_im.astype(cd)
         return (c_re, c_im, t_re, t_im), None
 
     z = jnp.zeros_like(S, dtype=cd if cd is not None else S.dtype)
-    if phase_init == "spsi":
+    if init_spec is not None:
+        # explicit (re, im) start — the streaming vocoder seeds each window
+        # with the previous window's retrieved phase for continuity
+        # (streaming.StreamingVocoder); magnitudes are re-imposed here so
+        # callers may pass a raw spectrum
+        i_re, i_im = (a.astype(jnp.float32) for a in init_spec)
+        mag0 = jnp.maximum(jnp.sqrt(i_re * i_re + i_im * i_im), eps)
+        c0_re, c0_im = S * i_re / mag0, S * i_im / mag0
+    elif phase_init == "spsi":
         phi = spsi_phase(S, fft_size, hop)
         c0_re, c0_im = S * jnp.cos(phi), S * jnp.sin(phi)
     else:
@@ -450,7 +479,10 @@ def griffin_lim(magnitude, fft_size, hop, window, *, n_iters=60,
     if center:
         y = y[..., fft_size // 2:]
     T = length if length is not None else hop * S.shape[-2]
-    return y[..., :T]
+    y = y[..., :T]
+    if return_spec:
+        return y, (c_re.astype(jnp.float32), c_im.astype(jnp.float32))
+    return y
 
 
 # ---------------------------------------------------------------------------
@@ -498,3 +530,17 @@ def inv_preemphasis(x, coef=0.97):
 
     _, y = lax.associative_scan(combine, (a, x), axis=-1)
     return y
+
+
+def inv_preemphasis_carry(x, coef, y_prev):
+    """Streaming inv_preemphasis: continue the IIR from carry y_prev (the
+    last output sample of the previous chunk, shape x.shape[:-1]).
+
+    The recurrence is linear, so the chunk solution splits exactly into the
+    zero-state response (inv_preemphasis of the chunk alone) plus the
+    zero-input response y_prev * coef**(t+1). Returns (y, new_carry)."""
+    T = x.shape[-1]
+    y = inv_preemphasis(x, coef)
+    decay = coef ** jnp.arange(1, T + 1, dtype=x.dtype)
+    y = y + y_prev[..., None] * decay
+    return y, y[..., -1]

@@ -456,6 +456,36 @@ def make_decoder_step(params, cfg: DecoderConfig, projected_kv, w_query, *,
     return step_fn
 
 
+def fused_decode_inputs(params, cfg: DecoderConfig, encoder_out,
+                        text_positions, max_steps, *, speaker_embed=None):
+    """Launch-ready inputs for the fused Pallas decode (and the streaming
+    path, which drives the same kernel chunk-by-chunk from the host):
+    projected attention K/V, the raw query-position angle table for steps
+    1..max_steps, per-sample query position rates, and the per-layer
+    multi-speaker GLU softsign biases."""
+    B = encoder_out[0].shape[0]
+    projected_kv, w_query = decoder_precompute(
+        params, cfg, encoder_out, text_positions=text_positions,
+        speaker_embed=speaker_embed)
+    steps = jnp.arange(1, max_steps + 1, dtype=jnp.int32)
+    raw_angles = jnp.take(params["embed_query_positions"]["w"], steps,
+                          axis=0)                          # (T, C) raw
+    wq = jnp.asarray(w_query, jnp.float32)
+    if wq.ndim == 0:
+        wq = jnp.full((B,), wq)
+    speaker_bias = None
+    if speaker_embed is not None:
+        speaker_bias = []
+        for plist, specs in ((params["prenet"], cfg.prenet_specs),
+                             (params["convs"], cfg.conv_specs)):
+            for p, s in zip(plist, specs):
+                if s.kind == "glu" and s.speaker_proj:
+                    speaker_bias.append(core.softsign(core.linear_apply(
+                        p["speaker_proj"], speaker_embed)))
+    return dict(projected_kv=projected_kv, fpe_table=raw_angles,
+                fpe_raw=True, w_query=wq, speaker_bias=speaker_bias)
+
+
 def decoder_decode(params, cfg: DecoderConfig, encoder_out, text_positions, *,
                    speaker_embed=None, lengths=None, initial_input=None,
                    test_inputs=None, max_decoder_steps=None,
@@ -476,9 +506,6 @@ def decoder_decode(params, cfg: DecoderConfig, encoder_out, text_positions, *,
 
     mask = (core.get_mask_from_lengths(lengths, Tk)
             if lengths is not None else None)
-    projected_kv, w_query = decoder_precompute(
-        params, cfg, encoder_out, text_positions=text_positions,
-        speaker_embed=speaker_embed)
     if initial_input is None:
         initial_input = jnp.zeros((B, cfg.in_dim * cfg.r), keys.dtype)
 
@@ -491,40 +518,31 @@ def decoder_decode(params, cfg: DecoderConfig, encoder_out, text_positions, *,
     if fused and test_inputs is None:
         from ..ops import fused_decode as fd
 
-        steps = jnp.arange(1, max_steps + 1, dtype=jnp.int32)
-        raw_angles = jnp.take(params["embed_query_positions"]["w"], steps,
-                              axis=0)                      # (T, C) raw
-        wq = jnp.asarray(w_query, jnp.float32)
-        if wq.ndim == 0:
-            wq = jnp.full((B,), wq)
-        speaker_bias = None
-        if speaker_embed is not None:
-            speaker_bias = []
-            for plist, specs in ((params["prenet"], cfg.prenet_specs),
-                                 (params["convs"], cfg.conv_specs)):
-                for p, s in zip(plist, specs):
-                    if s.kind == "glu" and s.speaker_proj:
-                        speaker_bias.append(core.softsign(core.linear_apply(
-                            p["speaker_proj"], speaker_embed)))
+        fi = fused_decode_inputs(params, cfg, encoder_out, text_positions,
+                                 max_steps, speaker_embed=speaker_embed)
         if early_exit:
             # chunked launches + done latch between chunks: real-checkpoint
             # synthesis stops after ~1-2 chunks instead of max_steps frames
             outputs, aligns, done, dstates, num_steps = \
                 fd.fused_decode_chunked(
-                    params, cfg, projected_kv, raw_angles, mask,
+                    params, cfg, fi["projected_kv"], fi["fpe_table"], mask,
                     initial_input, max_steps, cfg.min_decoder_steps,
-                    w_query=wq, speaker_bias=speaker_bias, fpe_raw=True)
+                    w_query=fi["w_query"], speaker_bias=fi["speaker_bias"],
+                    fpe_raw=True)
         else:
             outputs, aligns, done, dstates = fd.fused_decode(
-                params, cfg, projected_kv, raw_angles, mask, initial_input,
-                max_steps, w_query=wq, speaker_bias=speaker_bias,
-                fpe_raw=True)
+                params, cfg, fi["projected_kv"], fi["fpe_table"], mask,
+                initial_input, max_steps, w_query=fi["w_query"],
+                speaker_bias=fi["speaker_bias"], fpe_raw=True)
             num_steps = jnp.int32(max_steps)
         lengths_out = decode_lib._length_from_done(
             done, cfg.min_decoder_steps, num_steps)
         return decode_lib.DecodeLoopOut(outputs, aligns, done, dstates,
                                         lengths_out, num_steps)
 
+    projected_kv, w_query = decoder_precompute(
+        params, cfg, encoder_out, text_positions=text_positions,
+        speaker_embed=speaker_embed)
     step_fn = make_decoder_step(params, cfg, projected_kv, w_query,
                                 speaker_embed=speaker_embed, mask=mask)
     state = decoder_init_state(cfg, B, keys.dtype)

@@ -286,6 +286,23 @@ def make_decoder_step(params, cfg: NyankoDecoderConfig, projected_kv,
     return step_fn
 
 
+def fused_decode_inputs(params, cfg: NyankoDecoderConfig, encoder_out,
+                        text_positions, max_steps, *, speaker_embed=None):
+    """Launch-ready inputs for the fused Pallas decode / streaming path.
+
+    Table rows are already sinusoidal with the rate baked in; the step-t
+    query encoding is row t+1. jnp.take clamps out-of-range steps to the
+    last table row (max_decoder_steps can exceed max_positions), matching
+    the scan path's jnp.take semantics."""
+    projected_kv, _ = decoder_precompute(params, cfg, encoder_out,
+                                         text_positions=text_positions)
+    steps = jnp.arange(1, max_steps + 1, dtype=jnp.int32)
+    fpe_table = jnp.take(params["embed_query_positions"]["w"], steps,
+                         axis=0)
+    return dict(projected_kv=[projected_kv], fpe_table=fpe_table,
+                fpe_raw=False, w_query=None, speaker_bias=None)
+
+
 def decoder_decode(params, cfg: NyankoDecoderConfig, encoder_out,
                    text_positions, *, speaker_embed=None, lengths=None,
                    initial_input=None, test_inputs=None,
@@ -298,8 +315,6 @@ def decoder_decode(params, cfg: NyankoDecoderConfig, encoder_out,
 
     mask = (core.get_mask_from_lengths(lengths, Tk)
             if lengths is not None else None)
-    projected_kv, _ = decoder_precompute(params, cfg, encoder_out,
-                                         text_positions=text_positions)
     if initial_input is None:
         initial_input = jnp.zeros((B, cfg.in_dim * cfg.r), keys.dtype)
 
@@ -312,28 +327,25 @@ def decoder_decode(params, cfg: NyankoDecoderConfig, encoder_out,
     if fused and test_inputs is None:
         from ..ops import fused_decode as fd
 
-        # table rows are already sinusoidal with the rate baked in; the
-        # step-t query encoding is row t+1. jnp.take clamps out-of-range
-        # steps to the last table row (max_decoder_steps can exceed
-        # max_positions), matching the scan path's jnp.take semantics.
-        steps = jnp.arange(1, max_steps + 1, dtype=jnp.int32)
-        fpe_table = jnp.take(params["embed_query_positions"]["w"], steps,
-                             axis=0)
+        fi = fused_decode_inputs(params, cfg, encoder_out, text_positions,
+                                 max_steps)
         if early_exit:
             outputs, aligns, done, dstates, num_steps = \
                 fd.fused_decode_chunked(
-                    params, cfg, [projected_kv], fpe_table, mask,
+                    params, cfg, fi["projected_kv"], fi["fpe_table"], mask,
                     initial_input, max_steps, cfg.min_decoder_steps)
         else:
             outputs, aligns, done, dstates = fd.fused_decode(
-                params, cfg, [projected_kv], fpe_table, mask, initial_input,
-                max_steps)
+                params, cfg, fi["projected_kv"], fi["fpe_table"], mask,
+                initial_input, max_steps)
             num_steps = jnp.int32(max_steps)
         lengths_out = decode_lib._length_from_done(
             done, cfg.min_decoder_steps, num_steps)
         return decode_lib.DecodeLoopOut(outputs, aligns, done, dstates,
                                         lengths_out, num_steps)
 
+    projected_kv, _ = decoder_precompute(params, cfg, encoder_out,
+                                         text_positions=text_positions)
     step_fn = make_decoder_step(params, cfg, projected_kv, mask=mask)
     state = decoder_init_state(cfg, B, keys.dtype)
 
