@@ -14,6 +14,7 @@ options:
     --replace_pronunciation_prob=<N>  Probability [default: 0.0].
     --speaker_id=<id>                 Speaker ID (multi-speaker model).
     --batch-size=<N>                  Synthesize N sentences at once [default: 1].
+    --stream                          Streaming pipeline (prints first-chunk latency).
     --output-html                     Output html for blog post.
     -h, --help                        Show help message.
 """
@@ -49,6 +50,36 @@ def plot_alignment(alignment, path, info=None):
     plt.close()
 
 
+def _stream_batch(params, cfg, ap, frontend_mod, texts, args, spk):
+    """--stream mode: run the streaming pipeline, report the first-chunk
+    latency, and assemble per-utterance waveforms trimmed to the decoded
+    lengths (alignments are not collected by the stream)."""
+    import time
+
+    from deepvoice3_pytorch_tpu import streaming
+
+    gen = streaming.tts_stream(params, cfg, ap, frontend_mod, texts,
+                               p=args.replace_pronunciation_prob,
+                               speaker_ids=spk,
+                               max_decoder_steps=args.max_decoder_steps)
+    t0 = time.time()
+    chunks = []
+    for i, c in enumerate(gen):
+        if i == 0:
+            print("  first audio after %.0f ms (%.2f s of audio)"
+                  % ((time.time() - t0) * 1e3,
+                     c["audio"].shape[1] / ap.sample_rate))
+        chunks.append(c)
+    audio = np.concatenate([c["audio"] for c in chunks], axis=1)
+    dec = chunks[-1]["decoded_steps"]
+    up = getattr(cfg.converter, "time_upsampling", 1)
+    results = []
+    for i in range(len(texts)):
+        n = int(dec[i]) * cfg.r * up * ap.hop_size
+        results.append({"waveform": audio[i, :n]})
+    return results
+
+
 def main():
     # honor JAX_PLATFORMS even when a site hook pre-registered a platform
     # (clearing any backend the hook already initialized, as conftest does)
@@ -82,6 +113,12 @@ def main():
                         help="shard each batch over all visible chips "
                              "(params replicated); composes with --fused "
                              "(shard_map runs the kernel per device)")
+    parser.add_argument("--stream", action="store_true",
+                        help="synthesize with the streaming pipeline "
+                             "(deepvoice3_pytorch_tpu/streaming.py): audio "
+                             "is produced chunk-by-chunk and the first-"
+                             "chunk latency is printed per batch; "
+                             "alignment PNGs are skipped")
     parser.add_argument("--output-html", action="store_true")
     args = parser.parse_args()
 
@@ -121,11 +158,17 @@ def main():
         texts = lines[s:s + args.batch_size]
         spk = None if args.speaker_id is None \
             else [args.speaker_id] * len(texts)
-        results = tts_batch(params, cfg, ap, _frontend, texts,
-                            p=args.replace_pronunciation_prob,
-                            speaker_ids=spk,
-                            max_decoder_steps=args.max_decoder_steps,
-                            fused=args.fused, mesh=mesh)
+        if args.stream:
+            assert mesh is None, "--stream does not compose with " \
+                "--data-parallel"
+            results = _stream_batch(params, cfg, ap, _frontend, texts,
+                                    args, spk)
+        else:
+            results = tts_batch(params, cfg, ap, _frontend, texts,
+                                p=args.replace_pronunciation_prob,
+                                speaker_ids=spk,
+                                max_decoder_steps=args.max_decoder_steps,
+                                fused=args.fused, mesh=mesh)
         for j, (text, res) in enumerate(zip(texts, results)):
             idx = s + j
             name = "{}_{}{}".format(idx, checkpoint_name,
@@ -133,10 +176,11 @@ def main():
             dst_wav_path = join(args.dst_dir, name + ".wav")
             dst_alignment_path = join(args.dst_dir,
                                       name + "_alignment.png")
-            plot_alignment(res["alignment"].T, dst_alignment_path,
-                           info="{}, {}".format(
-                               hparams.builder,
-                               basename(args.checkpoint)))
+            if "alignment" in res:
+                plot_alignment(res["alignment"].T, dst_alignment_path,
+                               info="{}, {}".format(
+                                   hparams.builder,
+                                   basename(args.checkpoint)))
             ap.save_wav(res["waveform"], dst_wav_path)
             # caption sidecar consumed by docs/build_gallery.py
             with open(join(args.dst_dir, name + ".txt"), "w",

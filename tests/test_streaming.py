@@ -130,6 +130,40 @@ def test_stream_multispeaker():
     assert audio.shape[0] == 2 and np.isfinite(audio).all()
 
 
+def test_synthesis_cli_stream(tmp_path):
+    """synthesis.py --stream writes per-utterance wavs from the streaming
+    pipeline and prints the first-chunk latency."""
+    import subprocess
+    import sys
+    from os.path import join, dirname
+
+    from deepvoice3_pytorch_tpu.training import checkpoint as ckpt
+
+    REPO = dirname(dirname(os.path.abspath(__file__)))
+    hp_str = ("text_embed_dim=32,encoder_channels=32,decoder_channels=32,"
+              "converter_channels=32,fft_size=256,hop_size=64,"
+              "max_decoder_steps=24,griffin_lim_iters=2,max_positions=128")
+    hp = default_hparams()
+    hp.parse(hp_str)
+    cfg, params = build_model(hp, en.n_vocab)
+    ck = tmp_path / "checkpoint_step000000010.npz"
+    ckpt.save_checkpoint_file(str(ck), params, None, 10, 1)
+    text_list = tmp_path / "sentences.txt"
+    text_list.write_text("hello world.\nanother test.\n")
+    dst = tmp_path / "out"
+
+    r = subprocess.run(
+        [sys.executable, join(REPO, "synthesis.py"), str(ck),
+         str(text_list), str(dst), "--hparams=" + hp_str,
+         "--max-decoder-steps=24", "--batch-size=2", "--stream"],
+        capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr
+    assert "first audio after" in r.stdout
+    wavs = sorted(p for p in os.listdir(dst) if p.endswith(".wav"))
+    assert len(wavs) == 2
+
+
 def test_streaming_vocoder_quality_vs_whole():
     """Windowed phase-coherent GL on the golden fixture: the streamed
     waveform's spectral convergence must stay within 5% of the
