@@ -116,6 +116,43 @@ def test_stream_matches_batch_pipeline():
     assert np.isfinite(audio).all()
 
 
+def test_stream_nyanko():
+    """Second model family through the stream: nyanko's highway stacks,
+    non-raw position table (fpe_raw=False), and its converter's receptive
+    field all flow through the chunked launches; streamed linear frames
+    equal one full decode + converter pass."""
+    from deepvoice3_pytorch_tpu.builder import model_decode, model_postnet
+    from deepvoice3_pytorch_tpu.synthesis import _prepare_batch
+
+    hp = default_hparams()
+    hp.parse("builder=nyanko,text_embed_dim=64,encoder_channels=32,"
+             "decoder_channels=32,converter_channels=32,outputs_per_step=1,"
+             "downsample_step=4,max_decoder_steps=48")
+    cfg, params = build_model(hp, en.n_vocab)
+    ap = AudioProcessor(hp)
+
+    gen = streaming.tts_stream(params, cfg, ap, en, TEXTS[:2],
+                               max_decoder_steps=32, first_chunk=16,
+                               chunk=16, gl_context=8, emit_linear=True)
+    chunks = list(gen)
+    assert chunks[-1]["final"]
+    lin_stream = np.concatenate([c["linear"] for c in chunks], axis=1)
+    audio = np.concatenate([c["audio"] for c in chunks], axis=1)
+
+    x, pos, lengths = _prepare_batch(en, TEXTS[:2], 0.0, 8)
+    up = getattr(cfg.converter, "time_upsampling", 1)
+    n_dec = lin_stream.shape[1] // (cfg.r * up)
+    mel, pin, align, done, lens = model_decode(
+        params, cfg, jnp.asarray(x), jnp.asarray(pos),
+        input_lengths=jnp.asarray(lengths), max_decoder_steps=n_dec,
+        early_exit=False, fused=True)
+    lin_full = np.asarray(model_postnet(params, cfg, pin))
+    assert lin_stream.shape == lin_full.shape
+    np.testing.assert_allclose(lin_stream, lin_full, rtol=2e-4, atol=2e-4)
+    assert audio.shape == (2, lin_stream.shape[1] * ap.hop_size)
+    assert np.isfinite(audio).all()
+
+
 def test_stream_multispeaker():
     """Speaker-conditioned streaming: per-sample position rates and GLU
     speaker biases flow through the chunked launches."""
