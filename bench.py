@@ -370,9 +370,9 @@ def bench_streaming(params, cfg, hp, ap, n_timed=5):
     from deepvoice3_pytorch_tpu import streaming
     from deepvoice3_pytorch_tpu.frontend import en
 
-    texts = [SENTENCES[0]]               # B=1: the serving-latency case
+    time_up = getattr(cfg.converter, "time_upsampling", 1)
 
-    def run(collect=False):
+    def run(texts):
         gen = streaming.tts_stream(params, cfg, ap, en, texts,
                                    max_decoder_steps=200, first_chunk=16)
         t0 = time.perf_counter()
@@ -380,22 +380,34 @@ def bench_streaming(params, cfg, hp, ap, n_timed=5):
         ttfa = time.perf_counter() - t0
         chunks = [first] + list(gen)
         total = time.perf_counter() - t0
-        n_samples = sum(c["audio"].shape[1] for c in chunks)
+        # useful audio = per-sample decoded lengths (same convention as
+        # the trained-checkpoint row), not the batch-padded emission
+        n_samples = int(chunks[-1]["decoded_steps"].sum()) * cfg.r \
+            * time_up * hp.hop_size
         return ttfa, total, n_samples, chunks[0]["audio"].shape[1]
 
-    run()                                # warmup: compiles all programs
-    best = min((run() for _ in range(n_timed)),
-               key=lambda r: r[0])
-    ttfa, total, n_samples, first_n = best
-    audio_s = n_samples / hp.sample_rate
-    return {
-        "batch": 1,
-        "ttfa_ms": round(ttfa * 1000.0, 2),
-        "first_chunk_audio_ms": round(first_n / hp.sample_rate * 1000.0, 1),
-        "stream_total_ms": round(total * 1000.0, 2),
-        "audio_seconds": round(audio_s, 2),
-        "rtf": round(audio_s / total, 2),
-    }
+    def row(B):
+        texts = SENTENCES[:B]
+        run(texts)                       # warmup: compiles all programs
+        best = min((run(texts) for _ in range(n_timed)), key=lambda r: r[0])
+        ttfa, total, n_samples, first_n = best
+        audio_s = n_samples / hp.sample_rate
+        return {
+            "batch": B,
+            "ttfa_ms": round(ttfa * 1000.0, 2),
+            "first_chunk_audio_ms": round(
+                first_n / hp.sample_rate * 1000.0, 1),
+            "stream_total_ms": round(total * 1000.0, 2),
+            "audio_seconds": round(audio_s, 2),
+            "rtf": round(audio_s / total, 2),
+        }
+
+    out = row(1)                         # B=1: the serving-latency case
+    # B=8: eight concurrent streams batched through the same chunk
+    # programs — the serving-throughput case (TTFA barely moves, aggregate
+    # RTF scales with the batch)
+    out["concurrent_8"] = row(8)
+    return out
 
 
 def bench_vctk_multispeaker(B, T_DEC, n_timed=5):

@@ -18,13 +18,14 @@ chunk-by-chunk:
      full-utterance converter output. Emission therefore lags the decoder
      by the converter's lookahead (the stack is non-causal,
      reference deepvoice3.py:501-580).
-  3. **Vocoder** — Griffin-Lim per window with `gl_context` linear frames
-     of left context; adjacent emissions are crossfaded over
-     `xfade_samples` (GL phase is only defined up to the window it was
-     retrieved in, so seams need blending — the one approximation in the
-     stream; quality is pinned vs whole-utterance GL in
-     tests/test_streaming.py). The inverse-preemphasis IIR is continued
-     EXACTLY across chunks (dsp/stft.py:inv_preemphasis_carry).
+  3. **Vocoder** — phase-coherent windowed Griffin-Lim (StreamingVocoder):
+     each window re-retrieves `gl_context` already-played frames PINNED to
+     their emitted spectrum, anchors the new frames' SPSI phase to the
+     context, and holds back `gl_lookahead` frames so emissions stay off
+     the window's future edge; quality is pinned vs whole-utterance GL in
+     tests/test_streaming.py (streamed comes out *better* than the batch
+     default). The inverse-preemphasis IIR is continued EXACTLY across
+     chunks (dsp/stft.py:inv_preemphasis_carry).
 
 The reference has no streaming path at all — its incremental_forward
 decodes frame-by-frame in Python but still vocodes the whole utterance at
