@@ -500,8 +500,8 @@ def bench_training(hp, n_vocab, n_steps=50):
     out = {"shapes": {"T_lin": T_lin, "T_text": T_text, "r": r,
                       "downsample_step": ds}}
     rs = np.random.RandomState(0)
-    for B, dtype in ((16, "float32"), (32, "float32"), (32, "bfloat16"),
-                     (64, "bfloat16")):
+    for B, dtype in ((16, "float32"), (16, "bfloat16"), (32, "float32"),
+                     (32, "bfloat16"), (64, "bfloat16")):
         step_fn = step_fns[dtype]
         batch = {
             "x": rs.randint(1, n_vocab, (B, T_text)).astype(np.int32),

@@ -353,7 +353,7 @@ def tts_stream(params, cfg, ap, frontend_mod, texts, *, speaker_ids=None,
                p=0.0, max_decoder_steps=200, chunk=None, first_chunk=16,
                gl_context=16, gl_lookahead=8, xfade=None, pad_to=8,
                interpret=None,
-               emit_linear=False):
+               emit_linear=False, emit_alignment=False):
     """Generator: batched text -> incremental audio chunks.
 
     Yields dicts:
@@ -366,6 +366,9 @@ def tts_stream(params, cfg, ap, frontend_mod, texts, *, speaker_ids=None,
       final          True on the last chunk
       linear         (B, n, F) emitted linear frames (emit_linear=True
                      only, for tests)
+      alignment      (B, dec_steps, Tk) attention over the whole decode —
+                     LAST chunk only, emit_alignment=True (one deferred
+                     device fetch; the stream itself never needs it)
 
     The decoder runs `first_chunk` frames in the first launch (lower
     TTFA), then `chunk` (default ops/fused_decode.DEFAULT_CHUNK) per
@@ -413,6 +416,7 @@ def tts_stream(params, cfg, ap, frontend_mod, texts, *, speaker_ids=None,
                                gl_lookahead=gl_lookahead, xfade=xfade)
 
     mel_hist = None        # (B, M, D) device: accumulated postnet inputs
+    align_rows = []        # device (B, steps, Tk) per chunk (opt-in)
     done_rows = []         # host (B, steps) per chunk
     latched = np.zeros((B,), bool)
     dec_steps = 0          # decoder steps decoded so far
@@ -447,6 +451,8 @@ def tts_stream(params, cfg, ap, frontend_mod, texts, *, speaker_ids=None,
             pin = o.reshape(B, steps * r, -1)
         mel_hist = (pin if mel_hist is None
                     else jnp.concatenate([mel_hist, pin], axis=1))
+        if emit_alignment:
+            align_rows.append(a)
         dec_steps += steps
         M = dec_steps * r
 
@@ -503,5 +509,8 @@ def tts_stream(params, cfg, ap, frontend_mod, texts, *, speaker_ids=None,
             first = np.where(latched, done_all.argmax(axis=1) + 1, dec_steps)
             out["decoded_steps"] = first.astype(np.int32)
             out["final"] = True
+            if emit_alignment:
+                out["alignment"] = np.asarray(
+                    jnp.concatenate(align_rows, axis=1))
             yield out
             return

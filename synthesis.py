@@ -53,7 +53,7 @@ def plot_alignment(alignment, path, info=None):
 def _stream_batch(params, cfg, ap, frontend_mod, texts, args, spk):
     """--stream mode: run the streaming pipeline, report the first-chunk
     latency, and assemble per-utterance waveforms trimmed to the decoded
-    lengths (alignments are not collected by the stream)."""
+    lengths. Alignments arrive with the final chunk (deferred fetch)."""
     import time
 
     from deepvoice3_pytorch_tpu import streaming
@@ -61,7 +61,8 @@ def _stream_batch(params, cfg, ap, frontend_mod, texts, args, spk):
     gen = streaming.tts_stream(params, cfg, ap, frontend_mod, texts,
                                p=args.replace_pronunciation_prob,
                                speaker_ids=spk,
-                               max_decoder_steps=args.max_decoder_steps)
+                               max_decoder_steps=args.max_decoder_steps,
+                               emit_alignment=True)
     t0 = time.time()
     chunks = []
     for i, c in enumerate(gen):
@@ -72,11 +73,13 @@ def _stream_batch(params, cfg, ap, frontend_mod, texts, args, spk):
         chunks.append(c)
     audio = np.concatenate([c["audio"] for c in chunks], axis=1)
     dec = chunks[-1]["decoded_steps"]
+    align = chunks[-1]["alignment"]
     up = getattr(cfg.converter, "time_upsampling", 1)
     results = []
     for i in range(len(texts)):
         n = int(dec[i]) * cfg.r * up * ap.hop_size
-        results.append({"waveform": audio[i, :n]})
+        results.append({"waveform": audio[i, :n],
+                        "alignment": align[i, :int(dec[i])]})
     return results
 
 
@@ -117,8 +120,7 @@ def main():
                         help="synthesize with the streaming pipeline "
                              "(deepvoice3_pytorch_tpu/streaming.py): audio "
                              "is produced chunk-by-chunk and the first-"
-                             "chunk latency is printed per batch; "
-                             "alignment PNGs are skipped")
+                             "chunk latency is printed per batch")
     parser.add_argument("--output-html", action="store_true")
     args = parser.parse_args()
 

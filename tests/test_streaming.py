@@ -199,6 +199,8 @@ def test_synthesis_cli_stream(tmp_path):
     assert "first audio after" in r.stdout
     wavs = sorted(p for p in os.listdir(dst) if p.endswith(".wav"))
     assert len(wavs) == 2
+    pngs = [p for p in os.listdir(dst) if p.endswith("_alignment.png")]
+    assert len(pngs) == 2       # alignments arrive with the final chunk
 
 
 def test_serve_http_streaming():
