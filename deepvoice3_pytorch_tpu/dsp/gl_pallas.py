@@ -83,21 +83,53 @@ def _ola_norm(n_frames, fft_size, hop, window):
 
 
 def _make_kernel(n, fft, hop, n_bins, n_iters, momentum, phase_init,
-                 fold_windows):
+                 fold_windows, n_pinned=0, return_spec=False):
     k = fft // hop
     nb = n + k - 1
     eps2 = 1e-30
     F = n_bins
     bf16 = jnp.bfloat16
     momentum = np.float32(momentum)
+    with_init = phase_init == "given"
+    assert not (n_pinned and not with_init), \
+        "pinning requires an explicit init spectrum"
 
-    def kernel(s_ref, m0_ref, m1_ref, m2_ref, m3_ref, win_ref, inorm_ref,
-               out_ref, cre_ref, cim_ref, tpre_ref, tpim_ref):
+    def kernel(*refs):
+        # positional unpack: inputs [S, (i_re, i_im)?, mats x4, win, inorm],
+        # outputs [out, (spec_re, spec_im)?], scratch [cre, cim, tpre, tpim]
+        it = iter(refs)
+        s_ref = next(it)
+        if with_init:
+            ire_ref, iim_ref = next(it), next(it)
+        m0_ref, m1_ref, m2_ref, m3_ref = (next(it) for _ in range(4))
+        win_ref, inorm_ref, out_ref = next(it), next(it), next(it)
+        if return_spec:
+            sre_ref, sim_ref = next(it), next(it)
+        cre_ref, cim_ref, tpre_ref, tpim_ref = (next(it) for _ in range(4))
+
         S = s_ref[0]                                  # (n, F) f32
         win = win_ref[...]                            # (k, hop) f32
         inorm = inorm_ref[...]                        # (nb, hop) f32
 
-        if phase_init == "spsi":
+        if n_pinned:
+            # streaming boundary condition: the first n_pinned frames are
+            # already-played audio — hold them at their init values
+            # through every iteration (same rule as the XLA path's
+            # pinned_prefix; the init's prefix IS the previous window's
+            # retrieved spectrum)
+            rowix = jax.lax.broadcasted_iota(jnp.int32, (n, F), 0)
+            pinmask = rowix < n_pinned
+
+        if with_init:
+            # explicit (re, im) start (phase-coherent streaming windows):
+            # re-impose S on the given phases, exactly like the XLA path
+            i_re, i_im = ire_ref[0], iim_ref[0]       # (n, F) f32
+            scale0 = S * jax.lax.rsqrt(i_re * i_re + i_im * i_im + eps2)
+            pin_re = (i_re * scale0).astype(bf16)
+            pin_im = (i_im * scale0).astype(bf16)
+            cre_ref[...] = pin_re
+            cim_ref[...] = pin_im
+        elif phase_init == "spsi":
             # In-kernel SPSI (mirrors stft.py:spsi_phase): per-bin
             # instantaneous frequency by parabolic interpolation of the
             # magnitude triplet, integrated hop*omega per frame.
@@ -164,14 +196,22 @@ def _make_kernel(n, fft, hop, n_bins, n_iters, momentum, phase_init,
             a_re = tre + momentum * (tre - tpre_ref[...].astype(jnp.float32))
             a_im = tim + momentum * (tim - tpim_ref[...].astype(jnp.float32))
             scale = S * jax.lax.rsqrt(a_re * a_re + a_im * a_im + eps2)
-            cre_ref[...] = (a_re * scale).astype(bf16)
-            cim_ref[...] = (a_im * scale).astype(bf16)
+            c_re = (a_re * scale).astype(bf16)
+            c_im = (a_im * scale).astype(bf16)
+            if n_pinned:
+                c_re = jnp.where(pinmask, pin_re, c_re)
+                c_im = jnp.where(pinmask, pin_im, c_im)
+            cre_ref[...] = c_re
+            cim_ref[...] = c_im
             tpre_ref[...] = tre.astype(bf16)
             tpim_ref[...] = tim.astype(bf16)
             return 0
 
         jax.lax.fori_loop(0, n_iters, body, 0)
         out_ref[0] = synth(cre_ref[...], cim_ref[...])
+        if return_spec:
+            sre_ref[0] = cre_ref[...].astype(jnp.float32)
+            sim_ref[0] = cim_ref[...].astype(jnp.float32)
 
     return kernel, nb
 
@@ -179,12 +219,21 @@ def _make_kernel(n, fft, hop, n_bins, n_iters, momentum, phase_init,
 def griffin_lim_pallas(magnitude, fft_size, hop, window, *, n_iters=60,
                        momentum=0.99, length=None, mats=None,
                        interpret=None, center=True, phase_init="zero",
-                       fold_windows=True):
+                       fold_windows=True, init_spec=None, n_pinned=0,
+                       return_spec=False):
     """Drop-in for dsp.griffin_lim on TPU (bf16 carry semantics).
 
     magnitude: (B, n, F) or (n, F) -> (B, T) / (T,).
     phase_init: "spsi" (in-kernel, production default via hparams) or
         "zero". center selects the final trim only (see dsp.griffin_lim).
+    init_spec: explicit (re, im) start, shaped like magnitude — overrides
+        phase_init (magnitudes are re-imposed in-kernel). The streaming
+        vocoder passes the previous window's retrieved spectrum here.
+    n_pinned: hold the first n_pinned frames at their init values through
+        every iteration (streaming boundary condition; requires
+        init_spec) — the XLA path's pinned_prefix, in-kernel.
+    return_spec: also return the final retrieved (re, im) spectrum
+        (f32) — the streaming carry.
     fold_windows: pre-multiply the synthesis/analysis windows into the
         bf16 DFT matrices (same exact transform the XLA path applies) —
         removes 2k per-chunk VPU multiplies per iteration. Measured
@@ -200,13 +249,20 @@ def griffin_lim_pallas(magnitude, fft_size, hop, window, *, n_iters=60,
     squeeze = magnitude.ndim == 2
     if squeeze:
         magnitude = magnitude[None]
+        if init_spec is not None:
+            init_spec = tuple(a[None] for a in init_spec)
     assert magnitude.ndim == 3, "pallas GL expects (B, n, F) input"
     B, n, F = magnitude.shape
     k = fft_size // hop
     assert fft_size % hop == 0
+    if init_spec is not None:
+        phase_init = "given"
+        assert init_spec[0].shape == magnitude.shape, \
+            (init_spec[0].shape, magnitude.shape)
 
     kernel, nb = _make_kernel(n, fft_size, hop, F, n_iters, momentum,
-                              phase_init, fold_windows)
+                              phase_init, fold_windows,
+                              n_pinned=n_pinned, return_spec=return_spec)
     win_np = np.asarray(window, np.float32)
     win2d = jnp.asarray(win_np.reshape(k, hop))
     inorm = jnp.asarray(_ola_norm(n, fft_size, hop, win_np))
@@ -227,15 +283,31 @@ def griffin_lim_pallas(magnitude, fft_size, hop, window, *, n_iters=60,
     def full():
         return pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    out = pl.pallas_call(
+    def item_block():
+        return pl.BlockSpec((1, n, F), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    inputs = [magnitude.astype(jnp.float32)]
+    in_specs = [item_block()]
+    if init_spec is not None:
+        inputs += [a.astype(jnp.float32) for a in init_spec]
+        in_specs += [item_block(), item_block()]
+    inputs += [*mats_b, win2d, inorm]
+    in_specs += [full()] * 6
+
+    out_specs = [pl.BlockSpec((1, nb, hop), lambda b: (b, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((B, nb, hop), jnp.float32)]
+    if return_spec:
+        out_specs += [item_block(), item_block()]
+        out_shape += [jax.ShapeDtypeStruct((B, n, F), jnp.float32)] * 2
+
+    outs = pl.pallas_call(
         kernel,
         grid=(B,),
-        in_specs=[pl.BlockSpec((1, n, F), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  full(), full(), full(), full(), full(), full()],
-        out_specs=pl.BlockSpec((1, nb, hop), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, nb, hop), jnp.float32),
+        in_specs=in_specs,
+        out_specs=out_specs if return_spec else out_specs[0],
+        out_shape=out_shape if return_spec else out_shape[0],
         scratch_shapes=[
             pltpu.VMEM((n, F), bf16),   # c_re
             pltpu.VMEM((n, F), bf16),   # c_im
@@ -246,11 +318,17 @@ def griffin_lim_pallas(magnitude, fft_size, hop, window, *, n_iters=60,
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=_device_vmem_budget()),
-    )(magnitude.astype(jnp.float32), *mats_b, win2d, inorm)
+    )(*inputs)
 
+    out = outs[0] if return_spec else outs
     wav = out.reshape(B, nb * hop)
     if center:
         wav = wav[:, fft_size // 2:]
     T = length if length is not None else hop * n
     wav = wav[:, :T]
-    return wav[0] if squeeze else wav
+    if squeeze:
+        wav = wav[0]
+    if return_spec:
+        spec = (outs[1][0], outs[2][0]) if squeeze else (outs[1], outs[2])
+        return wav, spec
+    return wav

@@ -37,6 +37,7 @@ extras.streaming.
 """
 
 import math
+import os
 from functools import partial
 
 import numpy as np
@@ -219,6 +220,14 @@ class StreamingVocoder:
         # the batch default. Cost is proportional to window size, so the
         # extra iterations are cheap.
         iters, momentum = max(ap.gl_iters, 32), ap.gl_momentum
+        # On TPU the window retrieval runs as the whole-retrieval Pallas
+        # kernel (dsp/gl_pallas.py) with the anchored init passed in and
+        # the context frames pinned in-kernel — same boundary semantics as
+        # the XLA path, which stays the CPU/fallback implementation
+        # (DV3_PALLAS_GL=0 forces it on TPU, as for the batch vocoder).
+        env_gl = os.environ.get("DV3_PALLAS_GL", "")
+        use_pallas = (env_gl != "0"
+                      and jax.default_backend() == "tpu")
 
         @jax.jit
         def vocode(spec, power, mats, prev_spec):
@@ -236,6 +245,14 @@ class StreamingVocoder:
                     [pim, (S * jnp.sin(phi))[:, n_ctx:]], axis=1)
             else:
                 i_re, i_im = S * jnp.cos(phi), S * jnp.sin(phi)
+            if use_pallas:
+                from .dsp.gl_pallas import griffin_lim_pallas
+
+                n_pin = 0 if prev_spec is None else prev_spec[0].shape[1]
+                return griffin_lim_pallas(
+                    S, fft, hop, win, n_iters=iters, momentum=momentum,
+                    mats=mats, center=False, init_spec=(i_re, i_im),
+                    n_pinned=n_pin, return_spec=True)
             return dsp.griffin_lim(S, fft, hop, win, n_iters=iters,
                                    momentum=momentum, mats=mats,
                                    center=False,

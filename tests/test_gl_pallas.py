@@ -83,6 +83,43 @@ def test_pallas_gl_spsi_matches_xla_bf16_carry():
     assert d < 0.12, d
 
 
+def test_pallas_gl_init_pin_return_spec():
+    """The streaming-window features — explicit init spectrum, pinned
+    prefix, returned final spectrum — computed by the kernel must match
+    the XLA path (same algorithm, bf16-vs-f32 rounding schedules):
+    pinned rows stay exactly at their init values in BOTH, and the
+    retrieved suffix agrees to bf16 round-off."""
+    rs = np.random.RandomState(1)
+    B, n, F = 2, 29, 513
+    S = jnp.asarray((rs.rand(B, n, F) ** 2).astype(np.float32))
+    win = jnp.asarray(dsp.lws_hann_window(FFT, HOP))
+    ang = rs.rand(B, n, F).astype(np.float32) * 2 * np.pi
+    init = (S * jnp.cos(ang), S * jnp.sin(ang))
+    n_pin = 6
+
+    wav_k, (kre, kim) = griffin_lim_pallas(
+        S, FFT, HOP, win, n_iters=4, momentum=0.9, center=False,
+        init_spec=init, n_pinned=n_pin, return_spec=True, interpret=True)
+    wav_x, (xre, xim) = dsp.griffin_lim(
+        S, FFT, HOP, win, n_iters=4, momentum=0.9, center=False,
+        carry_dtype="bfloat16", init_spec=init,
+        pinned_prefix=(init[0][:, :n_pin], init[1][:, :n_pin]),
+        return_spec=True)
+
+    # pinned prefix held at its init values (bf16 for the kernel's carry)
+    want = np.asarray(init[0][:, :n_pin])
+    assert np.abs(np.asarray(kre)[:, :n_pin] - want).max() \
+        <= np.abs(want).max() * 0.01
+    np.testing.assert_allclose(np.asarray(xre)[:, :n_pin], want, rtol=2e-2,
+                               atol=1e-5)
+
+    # same fixed point up to bf16 rounding-schedule divergence
+    assert wav_k.shape == wav_x.shape
+    d = np.abs(np.asarray(wav_k) - np.asarray(wav_x)).max() \
+        / max(np.abs(np.asarray(wav_x)).max(), 1e-9)
+    assert d < 0.12, d
+
+
 def test_pallas_gl_2d_input_squeeze():
     S, win = _mag_batch()
     wav_b = griffin_lim_pallas(S, FFT, HOP, win, n_iters=2, interpret=True)
