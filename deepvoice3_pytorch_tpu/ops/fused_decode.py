@@ -195,13 +195,17 @@ def _first_argmax(x):
     return jnp.min(jnp.where(x >= m, col, tk), axis=-1).astype(jnp.int32)
 
 
-def _make_kernel(plan_pack, n_att, out_dim, state_dim, tk, fpe_raw):
+def _make_kernel(plan_pack, n_att, out_dim, state_dim, tk, fpe_raw,
+                 fpe_per_sample=False):
     plan, buffers, last_idx, fc_idx, _, n_sp = plan_pack
     n_buf = len(buffers)
 
     def kernel(*refs):
         # refs layout:
         #   fpe_ref (T, C) — query position table (raw angles or encodings)
+        #       — or (B, T, C) per-sample rows when fpe_per_sample
+        #       (continuous batching: each slot decodes at its own local
+        #       position; requires fpe_raw)
         #   wq_ref (B, 1) — per-sample query position rate (fpe_raw mode)
         #   mask_ref (B, Tk) additive mask (0 valid / MASK padded)
         #   init_ref (B, out_dim) initial input frame (carry-in)
@@ -243,7 +247,10 @@ def _make_kernel(plan_pack, n_att, out_dim, state_dim, tk, fpe_raw):
                 br[...] = bi[...]
 
         x = prev_ref[...]
-        ang = fpe_ref[pl.ds(t, 1), :]           # (1, C) row t of the table
+        if fpe_per_sample:
+            ang = fpe_ref[:, pl.ds(t, 1), :][:, 0, :]   # (B, C) slot rows
+        else:
+            ang = fpe_ref[pl.ds(t, 1), :]       # (1, C) row t of the table
         if fpe_raw:
             # per-sample rate: y = w*ang, then sin on even / cos on odd
             # columns (ops/positional.py:sinusoidal_encoding; position >= 1
@@ -412,7 +419,7 @@ class _Prepared:
     inside its while_loop body (XLA does not reliably hoist that)."""
 
     def __init__(self, params, cfg, projected_kv, mask, *, w_query,
-                 speaker_bias, fpe_raw):
+                 speaker_bias, fpe_raw, fpe_per_sample=False):
         self.plan_pack, flat = build_plan(params, cfg)
         _, self.buffers, _, _, self.n_att, n_sp = self.plan_pack
         kv = [p for p in projected_kv if p is not None]
@@ -434,8 +441,11 @@ class _Prepared:
         self.kv = [(k.astype(f32), v.astype(f32)) for k, v in kv]
         self.sp = [sb.astype(f32) for sb in (speaker_bias or [])]
         self.flat = [w.astype(f32) for w in flat]
+        assert not (fpe_per_sample and not fpe_raw), \
+            "per-sample position rows require the raw-angle mode"
         self.kernel = _make_kernel(self.plan_pack, self.n_att, self.out_dim,
-                                   self.state_dim, self.tk, fpe_raw)
+                                   self.state_dim, self.tk, fpe_raw,
+                                   fpe_per_sample=fpe_per_sample)
 
     def zero_carry(self):
         f32 = jnp.float32

@@ -362,6 +362,90 @@ class StreamingVocoder:
 
 
 # ---------------------------------------------------------------------------
+# converter-window + vocoder emission state for one stream (any batch)
+# ---------------------------------------------------------------------------
+
+
+class StreamEmitter:
+    """Post-decode half of a stream: accumulates postnet-input frames,
+    runs the windowed converter with receptive-field context, and drives a
+    StreamingVocoder. Shared by tts_stream (whole-batch streams) and
+    serving.ContinuousBatcher (one emitter per slot).
+
+    feed_async(pin) dispatches the always-valid emission for new frames
+    (device work only; overlap host syncs with it), feed_finish(token)
+    completes it; finish() emits the held-back converter lookahead and the
+    vocoder tail."""
+
+    def __init__(self, params, cfg, ap, spk, *, gl_context=16,
+                 gl_lookahead=8, xfade=None):
+        self.params = params
+        self.cfg = cfg
+        self.spk = spk
+        self.up = getattr(cfg.converter, "time_upsampling", 1)
+        self.ctx_l, self.ctx_r = converter_context(cfg.converter)
+        self.vocoder = StreamingVocoder(ap, gl_context=gl_context,
+                                        gl_lookahead=gl_lookahead,
+                                        xfade=xfade)
+        self.mel_hist = None    # (B, M, D) device
+        self.M = 0              # postnet frames accumulated
+        self.e_m = 0            # postnet frames emitted
+
+    def _conv_emit(self, emit_to_m):
+        """Converter on a bucketed window; exact linear frames for mel
+        region [e_m, emit_to_m). Window = [ws, M) with ws <= e_m-ctx_l (or
+        0 = true sequence start), so every emitted frame has its full
+        receptive field inside the window."""
+        W = self.M - max(0, self.e_m - self.ctx_l)
+        Wb = min(self.M, -(-W // CONV_BUCKET) * CONV_BUCKET)
+        ws = self.M - Wb
+        window = lax.slice_in_dim(self.mel_hist, ws, self.M, axis=1)
+        lin_win = _conv_window_prog(self.params, self.cfg, window, self.spk)
+        return lax.slice_in_dim(lin_win, (self.e_m - ws) * self.up,
+                                (emit_to_m - ws) * self.up, axis=1)
+
+    def feed_async(self, pin):
+        """pin: (B, steps*r, D) new postnet-input frames. Dispatches the
+        emission [e_m, M-ctx_r); returns a token for feed_finish (None
+        when nothing is emittable yet)."""
+        self.mel_hist = (pin if self.mel_hist is None
+                         else jnp.concatenate([self.mel_hist, pin], axis=1))
+        self.M += pin.shape[1]
+        emit_to = self.M - self.ctx_r
+        if emit_to <= self.e_m:
+            return None
+        lin_new = self._conv_emit(emit_to)
+        return (emit_to, lin_new, self.vocoder.push_async(lin_new))
+
+    def feed_finish(self, token):
+        """Returns (audio (B, m), lin_new or None)."""
+        if token is None:
+            B = 1 if self.mel_hist is None else self.mel_hist.shape[0]
+            return np.zeros((B, 0), np.float32), None
+        emit_to, lin_new, tok = token
+        audio = self.vocoder.finish(tok)
+        self.e_m = emit_to
+        return audio, lin_new
+
+    def finish(self):
+        """Final emissions: the held-back converter lookahead [e_m, M) and
+        the vocoder's own lookahead + crossfade tail. Returns
+        (audio (B, m), lin_last or None)."""
+        parts, lin_last = [], None
+        if self.M > self.e_m:
+            lin_last = self._conv_emit(self.M)
+            parts.append(self.vocoder.push(lin_last))
+            self.e_m = self.M
+        tail = self.vocoder.flush()
+        if tail is not None:
+            parts.append(tail)
+        if not parts:
+            B = 1 if self.mel_hist is None else self.mel_hist.shape[0]
+            return np.zeros((B, 0), np.float32), lin_last
+        return np.concatenate(parts, axis=1), lin_last
+
+
+# ---------------------------------------------------------------------------
 # the streaming synthesizer
 # ---------------------------------------------------------------------------
 
@@ -406,9 +490,7 @@ def tts_stream(params, cfg, ap, frontend_mod, texts, *, speaker_ids=None,
 
     dcfg = cfg.decoder
     r = dcfg.r
-    up = getattr(cfg.converter, "time_upsampling", 1)
-    hop = ap.hop_size
-    ctx_l, ctx_r = converter_context(cfg.converter)
+    _, ctx_r = converter_context(cfg.converter)
     min_steps = dcfg.min_decoder_steps
     assert first_chunk * r > ctx_r, (
         "first_chunk too small for the converter lookahead: %d*%d <= %d"
@@ -429,31 +511,16 @@ def tts_stream(params, cfg, ap, frontend_mod, texts, *, speaker_ids=None,
                                              spk, max_total=max_total)
     fpe_raw = arrays["w_query"] is not None
 
-    vocoder = StreamingVocoder(ap, gl_context=gl_context,
-                               gl_lookahead=gl_lookahead, xfade=xfade)
+    emitter = StreamEmitter(params, cfg, ap, spk, gl_context=gl_context,
+                            gl_lookahead=gl_lookahead, xfade=xfade)
 
-    mel_hist = None        # (B, M, D) device: accumulated postnet inputs
     align_rows = []        # device (B, steps, Tk) per chunk (opt-in)
     done_rows = []         # host (B, steps) per chunk
     latched = np.zeros((B,), bool)
     dec_steps = 0          # decoder steps decoded so far
-    e_m = 0                # mel frames emitted through the converter
     sample_start = 0
 
-    def conv_emit(emit_to_m, M):
-        """Converter on a bucketed window; returns exact linear frames for
-        mel region [e_m, emit_to_m). Window = [ws, M) with ws <= e_m-ctx_l
-        (or 0 = true sequence start), so every emitted frame has its full
-        receptive field inside the window."""
-        W = M - max(0, e_m - ctx_l)
-        Wb = min(M, -(-W // CONV_BUCKET) * CONV_BUCKET)
-        ws = M - Wb
-        window = lax.slice_in_dim(mel_hist, ws, M, axis=1)
-        lin_win = _conv_window_prog(params, cfg, window, spk)
-        return lax.slice_in_dim(lin_win, (e_m - ws) * up,
-                                (emit_to_m - ws) * up, axis=1)
-
-    for ci, steps in enumerate(schedule):
+    for steps in schedule:
         (o, a, d, s), (prev, la, bufs) = _chunk_prog(
             params["decoder"], dcfg, arrays["projected_kv"], arrays["mask"],
             arrays["w_query"], arrays["speaker_bias"], arrays["fpe_table"],
@@ -466,22 +533,15 @@ def tts_stream(params, cfg, ap, frontend_mod, texts, *, speaker_ids=None,
             pin = s.reshape(B, steps * r, -1)
         else:
             pin = o.reshape(B, steps * r, -1)
-        mel_hist = (pin if mel_hist is None
-                    else jnp.concatenate([mel_hist, pin], axis=1))
         if emit_alignment:
             align_rows.append(a)
         dec_steps += steps
-        M = dec_steps * r
 
         # dispatch the always-valid emission [e_m, M-ctx_r) BEFORE reading
         # the done flags: the (B, steps) device->host fetch (a full tunnel
         # round trip on remote harnesses) then overlaps the converter + GL
         # device time instead of serializing ahead of it
-        emit_to_m = M - ctx_r
-        token, lin_new = None, None
-        if emit_to_m > e_m:
-            lin_new = conv_emit(emit_to_m, M)
-            token = vocoder.push_async(lin_new)
+        token = emitter.feed_async(pin)
 
         # done latch, host side (the (B, steps) fetch IS the stream control)
         d_host = np.asarray(d)                          # (B, steps)
@@ -490,44 +550,34 @@ def tts_stream(params, cfg, ap, frontend_mod, texts, *, speaker_ids=None,
         latched |= done_rows[-1].any(axis=1)
         stop = bool(latched.all()) or dec_steps >= max_total
 
-        audio = vocoder.finish(token) if token is not None else None
-        if emit_to_m > e_m:
-            out = {"audio": audio if audio is not None
-                   else np.zeros((B, 0), np.float32),
-                   "sample_start": sample_start,
-                   "final": False, "decoded_steps": None}
-            if emit_linear:
-                out["linear"] = np.asarray(lin_new)
-            sample_start += out["audio"].shape[1]
-            e_m = emit_to_m
-            if not stop:
+        audio, lin_new = emitter.feed_finish(token)
+        out = {"audio": audio, "sample_start": sample_start,
+               "final": False, "decoded_steps": None}
+        if emit_linear:
+            out["linear"] = (np.asarray(lin_new) if lin_new is not None
+                             else np.zeros((B, 0, 1), np.float32))
+        sample_start += audio.shape[1]
+        if not stop:
+            if token is not None:
                 yield out
-        if stop:
-            # emit the held-back converter lookahead [e_m, M), then the
-            # vocoder's own lookahead + crossfade tail
-            parts = [out["audio"]]
-            if M > e_m:
-                lin_last = conv_emit(M, M)
-                parts.append(vocoder.push(lin_last))
-                if emit_linear:
-                    out["linear"] = np.concatenate(
-                        [out.get("linear",
-                                 np.zeros((B, 0, lin_last.shape[2]),
-                                          np.float32)),
-                         np.asarray(lin_last)], axis=1)
-                e_m = M
-            tail = vocoder.flush()
-            if tail is not None:
-                parts.append(tail)
-            out["audio"] = np.concatenate(parts, axis=1)
-            # per-sample decoded lengths, decode_while's rule: frames kept
-            # through the first done-latch frame (inclusive)
-            done_all = np.concatenate(done_rows, axis=1)[:, :dec_steps]
-            first = np.where(latched, done_all.argmax(axis=1) + 1, dec_steps)
-            out["decoded_steps"] = first.astype(np.int32)
-            out["final"] = True
-            if emit_alignment:
-                out["alignment"] = np.asarray(
-                    jnp.concatenate(align_rows, axis=1))
-            yield out
-            return
+            continue
+
+        # final emissions: the held-back converter lookahead + vocoder tail
+        tail, lin_last = emitter.finish()
+        out["audio"] = np.concatenate([out["audio"], tail], axis=1)
+        if emit_linear and lin_last is not None:
+            lin_prev = (out["linear"] if out["linear"].shape[1]
+                        else np.zeros((B, 0, lin_last.shape[2]), np.float32))
+            out["linear"] = np.concatenate(
+                [lin_prev, np.asarray(lin_last)], axis=1)
+        # per-sample decoded lengths, decode_while's rule: frames kept
+        # through the first done-latch frame (inclusive)
+        done_all = np.concatenate(done_rows, axis=1)[:, :dec_steps]
+        first = np.where(latched, done_all.argmax(axis=1) + 1, dec_steps)
+        out["decoded_steps"] = first.astype(np.int32)
+        out["final"] = True
+        if emit_alignment:
+            out["alignment"] = np.asarray(
+                jnp.concatenate(align_rows, axis=1))
+        yield out
+        return

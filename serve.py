@@ -10,6 +10,7 @@ options:
     --host=<h>               Bind address [default: 127.0.0.1].
     --port=<p>               Port [default: 8585].
     --max-decoder-steps=<N>  Max decoder steps [default: 500].
+    --slots=<N>              Continuous batching with N slots [default: 0].
     -h, --help               Show help message.
 
 Endpoints:
@@ -24,10 +25,12 @@ Endpoints:
     GET /healthz
         200 "ok" once the model is loaded and warmed.
 
-The server synthesizes one request at a time (a lock serializes model
-access — the TPU programs are already batched internally; concurrent
-serving at scale wants batch aggregation in front, not concurrent
-single-utterance launches competing for the chip).
+By default the server synthesizes one request at a time (a lock
+serializes model access). With --slots=N it runs CONTINUOUS BATCHING
+(deepvoice3_pytorch_tpu/serving.py): up to N utterances decode
+concurrently in one slot batch on the chip, new requests joining at
+decode-chunk boundaries — the same aggregate-throughput idea as
+continuous batching in LLM serving, for TTS streams.
 
 The reference has no serving path at all; this is the capability its
 synthesis.py CLI cannot offer (reference synthesis.py:42-73 writes files
@@ -62,15 +65,36 @@ def pcm16(x):
 
 
 class TTSEngine:
-    """Model + streaming pipeline behind a lock (one decode at a time)."""
+    """Model + streaming pipeline.
 
-    def __init__(self, params, cfg, ap, frontend_mod, max_decoder_steps):
+    slots=0 (default): one utterance at a time behind a lock.
+    slots=N: continuous batching (deepvoice3_pytorch_tpu/serving.py) — up
+    to N utterances decode concurrently in one slot batch, new requests
+    joining at chunk boundaries; a worker thread drives the batch."""
+
+    def __init__(self, params, cfg, ap, frontend_mod, max_decoder_steps,
+                 slots=0, text_pad=64):
         self.params = params
         self.cfg = cfg
         self.ap = ap
         self.frontend = frontend_mod
         self.max_decoder_steps = max_decoder_steps
         self.lock = threading.Lock()
+        self.batcher = None
+        self._stop = threading.Event()
+        if slots:
+            from deepvoice3_pytorch_tpu.serving import ContinuousBatcher
+
+            self.batcher = ContinuousBatcher(
+                params, cfg, ap, frontend_mod, n_slots=slots,
+                text_pad=text_pad, max_decoder_steps=max_decoder_steps)
+            self._worker = threading.Thread(
+                target=self.batcher.run_loop, args=(self._stop,),
+                daemon=True)
+            self._worker.start()
+
+    def shutdown(self):
+        self._stop.set()
 
     def warmup(self):
         for _ in self.stream("warm up."):
@@ -79,6 +103,16 @@ class TTSEngine:
     def stream(self, text, speaker_id=None):
         """Yields float32 sample chunks for one utterance, trimmed to the
         decoded length."""
+        if self.batcher is not None:
+            q = self.batcher.submit(
+                text, None if speaker_id is None else int(speaker_id))
+            while True:
+                kind, payload = q.get(timeout=600)
+                if kind == "end":
+                    return
+                yield payload
+            return
+
         from deepvoice3_pytorch_tpu import streaming
 
         spk = None if speaker_id is None else [int(speaker_id)]
@@ -160,7 +194,7 @@ def make_handler(engine):
 
 
 def build_engine(checkpoint, preset=None, hparams_str="",
-                 max_decoder_steps=500):
+                 max_decoder_steps=500, slots=0):
     from deepvoice3_pytorch_tpu import frontend as frontend_pkg
     from deepvoice3_pytorch_tpu.dsp.audio import AudioProcessor
     from deepvoice3_pytorch_tpu.hparams import hparams
@@ -176,7 +210,7 @@ def build_engine(checkpoint, preset=None, hparams_str="",
     params, _, _, _ = ckpt.load_checkpoint(checkpoint, params,
                                            reset_optimizer=True)
     ap = AudioProcessor(hparams)
-    return TTSEngine(params, cfg, ap, fe, max_decoder_steps)
+    return TTSEngine(params, cfg, ap, fe, max_decoder_steps, slots=slots)
 
 
 def main():
@@ -187,10 +221,14 @@ def main():
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8585)
     parser.add_argument("--max-decoder-steps", type=int, default=500)
+    parser.add_argument("--slots", type=int, default=0,
+                        help="continuous batching: decode up to N "
+                             "utterances concurrently in one slot batch "
+                             "(deepvoice3 family only); 0 = one at a time")
     args = parser.parse_args()
 
     engine = build_engine(args.checkpoint, args.preset, args.hparams,
-                          args.max_decoder_steps)
+                          args.max_decoder_steps, slots=args.slots)
     print("warming up (compiles the streaming programs)...")
     engine.warmup()
     server = ThreadingHTTPServer((args.host, args.port),

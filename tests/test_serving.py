@@ -1,0 +1,175 @@
+# coding: utf-8
+"""Continuous batching: a slot admitted into a RUNNING batch must produce
+the same stream as a fresh single-utterance tts_stream (per-slot position
+rows + per-slot carry resets make mid-stream admission exact)."""
+
+import numpy as np
+
+from deepvoice3_pytorch_tpu import serving, streaming
+from deepvoice3_pytorch_tpu.dsp.audio import AudioProcessor
+from deepvoice3_pytorch_tpu.frontend import en
+from deepvoice3_pytorch_tpu.hparams import default_hparams
+from deepvoice3_pytorch_tpu.model_builder import build_model
+
+TEXT_A = "the first serving test sentence."
+TEXT_B = "a different second one."
+TEXT_C = "and one more."
+
+
+def _setup():
+    hp = default_hparams()
+    hp.parse("text_embed_dim=64,encoder_channels=32,decoder_channels=32,"
+             "converter_channels=32,outputs_per_step=4,downsample_step=1,"
+             "max_decoder_steps=48")
+    cfg, params = build_model(hp, en.n_vocab)
+    ap = AudioProcessor(hp)
+    return cfg, params, ap
+
+
+def _drain(q):
+    audio, n_dec = [], None
+    while True:
+        kind, payload = q.get_nowait()
+        if kind == "end":
+            n_dec = payload
+            break
+        audio.append(payload)
+    return np.concatenate(audio), n_dec
+
+
+def _fresh_stream(params, cfg, ap, text, *, chunk, max_steps, pad_to,
+                  gl_context):
+    chunks = list(streaming.tts_stream(
+        params, cfg, ap, en, [text], max_decoder_steps=max_steps,
+        first_chunk=chunk, chunk=chunk, gl_context=gl_context,
+        pad_to=pad_to))
+    audio = np.concatenate([c["audio"] for c in chunks], axis=1)[0]
+    n_dec = int(chunks[-1]["decoded_steps"][0])
+    # the batcher trims its final emission to the decoded length
+    up = getattr(cfg.converter, "time_upsampling", 1)
+    return audio[:n_dec * cfg.r * up * ap.hop_size], n_dec
+
+
+def test_mid_stream_admission_matches_fresh_streams():
+    cfg, params, ap = _setup()
+    CHUNK, MAX, PAD, CTX = 8, 24, 40, 8
+    batcher = serving.ContinuousBatcher(
+        params, cfg, ap, en, n_slots=3, text_pad=PAD, chunk=CHUNK,
+        max_decoder_steps=MAX, gl_context=CTX)
+
+    qa = batcher.submit(TEXT_A)
+    assert batcher.step() == 1          # A alone, chunk 1
+    qb = batcher.submit(TEXT_B)         # admitted mid-stream (A at chunk 1)
+    n = 0
+    while batcher.step():
+        n += 1
+        assert n < 50
+    audio_a, dec_a = _drain(qa)
+    audio_b, dec_b = _drain(qb)
+
+    ref_a, ref_dec_a = _fresh_stream(params, cfg, ap, TEXT_A, chunk=CHUNK,
+                                     max_steps=MAX, pad_to=PAD,
+                                     gl_context=CTX)
+    ref_b, ref_dec_b = _fresh_stream(params, cfg, ap, TEXT_B, chunk=CHUNK,
+                                     max_steps=MAX, pad_to=PAD,
+                                     gl_context=CTX)
+
+    assert dec_a == ref_dec_a and dec_b == ref_dec_b
+    # the batcher trims to the decoded length but cannot retract samples
+    # already streamed, so it may exceed the trim by < one chunk
+    for got, ref, cfg_r in ((audio_a, ref_a, cfg.r), (audio_b, ref_b,
+                                                      cfg.r)):
+        up = getattr(cfg.converter, "time_upsampling", 1)
+        assert len(ref) <= len(got) \
+            <= len(ref) + CHUNK * cfg_r * up * ap.hop_size
+        # batched rows vs batch-1 matmuls differ in the last ulp;
+        # Griffin-Lim amplifies that over its iterations — close, not
+        # bitwise
+        n = len(ref)
+        scale = max(np.abs(ref).max(), 1e-6)
+        assert np.abs(got[:n] - ref).max() <= 0.05 * scale, \
+            np.abs(got[:n] - ref).max() / scale
+
+
+def test_slot_reuse_after_retirement():
+    """A retired slot must be reusable with no state leaking from its
+    previous occupant."""
+    cfg, params, ap = _setup()
+    CHUNK, MAX, PAD, CTX = 8, 16, 40, 8
+    batcher = serving.ContinuousBatcher(
+        params, cfg, ap, en, n_slots=1, text_pad=PAD, chunk=CHUNK,
+        max_decoder_steps=MAX, gl_context=CTX)
+
+    qa = batcher.submit(TEXT_A)
+    qc = batcher.submit(TEXT_C)         # waits for the single slot
+    n = 0
+    while batcher.step():
+        n += 1
+        assert n < 50
+    audio_a, dec_a = _drain(qa)
+    audio_c, dec_c = _drain(qc)
+    ref_c, ref_dec_c = _fresh_stream(params, cfg, ap, TEXT_C, chunk=CHUNK,
+                                     max_steps=MAX, pad_to=PAD,
+                                     gl_context=CTX)
+    assert dec_c == ref_dec_c
+    n = len(ref_c)
+    assert len(audio_c) >= n
+    scale = max(np.abs(ref_c).max(), 1e-6)
+    assert np.abs(audio_c[:n] - ref_c).max() <= 0.05 * scale
+    assert audio_a.shape[0] > 0
+
+
+def test_serve_http_slots_concurrent():
+    """serve.py --slots: two SIMULTANEOUS requests stream from the same
+    slot batch, each getting a complete WAV."""
+    import struct
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    import serve as serve_mod
+
+    cfg, params, ap = _setup()
+    engine = serve_mod.TTSEngine(params, cfg, ap, en, max_decoder_steps=24,
+                                 slots=2, text_pad=40)
+    server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                 serve_mod.make_handler(engine))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        results = {}
+
+        def fetch(name, text):
+            url = ("http://127.0.0.1:%d/tts?text=%s"
+                   % (port, text.replace(" ", "%20")))
+            with urllib.request.urlopen(url, timeout=600) as r:
+                results[name] = r.read()
+
+        threads = [threading.Thread(target=fetch, args=("a", TEXT_A)),
+                   threading.Thread(target=fetch, args=("b", TEXT_B))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert set(results) == {"a", "b"}
+        for body in results.values():
+            assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+            assert struct.unpack("<I", body[24:28])[0] == ap.sample_rate
+            pcm = np.frombuffer(body[44:], "<i2")
+            assert len(pcm) > ap.hop_size
+    finally:
+        engine.shutdown()
+        server.shutdown()
+
+
+def test_text_too_long_rejected():
+    cfg, params, ap = _setup()
+    batcher = serving.ContinuousBatcher(params, cfg, ap, en, n_slots=1,
+                                        text_pad=8, chunk=8,
+                                        max_decoder_steps=16)
+    try:
+        batcher.submit("a sentence that is quite clearly longer than "
+                       "eight tokens when encoded.")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
