@@ -34,7 +34,7 @@ setup(
         "deepvoice3_pytorch_tpu.native": ["src/*.cc", "src/*.h"],
     },
     include_package_data=True,
-    py_modules=["train", "synthesis", "preprocess",
+    py_modules=["train", "synthesis", "preprocess", "serve",
                 "compute_timestamp_ratio", "dump_hparams_to_json",
                 "gentle_web_align"],
     install_requires=[
@@ -52,6 +52,7 @@ setup(
             "dv3-preprocess = preprocess:main",
             "dv3-train = train:main",
             "dv3-synthesis = synthesis:main",
+            "dv3-serve = serve:main",
         ],
     },
     classifiers=[
