@@ -370,8 +370,6 @@ def bench_streaming(params, cfg, hp, ap, n_timed=5):
     from deepvoice3_pytorch_tpu import streaming
     from deepvoice3_pytorch_tpu.frontend import en
 
-    time_up = getattr(cfg.converter, "time_upsampling", 1)
-
     def run(texts):
         gen = streaming.tts_stream(params, cfg, ap, en, texts,
                                    max_decoder_steps=200, first_chunk=16)
@@ -382,8 +380,8 @@ def bench_streaming(params, cfg, hp, ap, n_timed=5):
         total = time.perf_counter() - t0
         # useful audio = per-sample decoded lengths (same convention as
         # the trained-checkpoint row), not the batch-padded emission
-        n_samples = int(chunks[-1]["decoded_steps"].sum()) * cfg.r \
-            * time_up * hp.hop_size
+        n_samples = streaming.decoded_samples(
+            cfg, ap, int(chunks[-1]["decoded_steps"].sum()))
         return ttfa, total, n_samples, chunks[0]["audio"].shape[1]
 
     def row(B):

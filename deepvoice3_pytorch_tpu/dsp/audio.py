@@ -159,11 +159,6 @@ class AudioProcessor:
             """normalized linear (..., n, F) -> waveform (..., T)."""
             return _inv_pre(_gl(_denorm_pow(spec, power), mats))
 
-        def _gl_waveform(spec, power, mats):
-            """Like _inv_spectrogram but WITHOUT the inverse preemphasis:
-            the streaming vocoder continues that IIR across chunks itself
-            (dsp/stft.py:inv_preemphasis_carry)."""
-            return _gl(_denorm_pow(spec, power), mats)
 
         @jax.jit
         def _features_padded(y_padded):
@@ -181,7 +176,7 @@ class AudioProcessor:
 
         dft = tuple(jnp.asarray(m) for m in dsp.dft_mats(fft))
         self._device = (window, mel_w, _features, _features_padded,
-                        _inv_spectrogram, dft, _gl_waveform)
+                        _inv_spectrogram, dft)
         return self._device
 
     @property
@@ -299,15 +294,6 @@ class AudioProcessor:
         runtime args. Do NOT wrap this in another jit — re-tracing would
         re-embed them as giant HLO constants (compile-time blowup)."""
         return self._inv(spec_bnf, self.power, self._dft)
-
-    def gl_waveform_device(self, spec_bnf):
-        """Vocoder WITHOUT the inverse-preemphasis IIR: normalized linear
-        (B, n, F) -> pre-emphasized waveform (B, n*hop). The streaming
-        synthesizer continues the IIR across emitted chunks itself with
-        dsp.inv_preemphasis_carry (the recurrence needs the previous
-        chunk's last output sample, which a per-window vocoder call cannot
-        know)."""
-        return self._device_fns()[6](spec_bnf, self.power, self._dft)
 
     # -- scalar helpers ------------------------------------------------------
 

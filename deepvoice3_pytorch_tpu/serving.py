@@ -203,10 +203,8 @@ class ContinuousBatcher:
         bufs = tuple(a.at[b].set(0.0) for a in bufs)
         self._carry = (prev, la, bufs)
 
-        spk_e = (None if speaker_id is None
-                 else jnp.asarray([speaker_id], jnp.int32))
         emitter = streaming.StreamEmitter(self.params, self.cfg, self.ap,
-                                          spk_e, **self.gl_kw)
+                                          spk, **self.gl_kw)
         self._slots[slot] = _Slot(emitter, out_q)
 
     def step(self):
@@ -255,30 +253,34 @@ class ContinuousBatcher:
                 slot.latched |= bool(row.any())
                 slot.local_steps += self.chunk
 
-                audio, _ = slot.emitter.feed_finish(tokens[b])
-                if audio.shape[1]:
-                    slot.out_q.put(("audio", audio[0]))
-                    slot.emitted += audio.shape[1]
-                if slot.latched or slot.local_steps >= self.max_decoder_steps:
-                    tail, _ = slot.emitter.finish()
+                retire = (slot.latched
+                          or slot.local_steps >= self.max_decoder_steps)
+                n_total = None
+                if retire:
                     done_all = np.concatenate(slot.done_rows)
                     n_dec = (int(done_all.argmax()) + 1 if slot.latched
                              else slot.local_steps)
-                    # trim the final emission to the decoded length (the
-                    # chunk-granular decode overshoots the done latch by
-                    # up to chunk-1 frames of post-done model output).
-                    # Samples already streamed cannot be retracted, so a
-                    # stream can still carry < one chunk of post-done
-                    # audio when the latch fired early in its final chunk
-                    # — the ("end", n_dec) message carries the exact
-                    # decoded length for consumers that care.
-                    n_total = n_dec * self.r \
-                        * slot.emitter.up * self.ap.hop_size
-                    keep = max(0, n_total - slot.emitted)
-                    tail = tail[:, :keep] if keep < tail.shape[1] else tail
-                    if tail.shape[1]:
-                        slot.out_q.put(("audio", tail[0]))
-                        slot.emitted += tail.shape[1]
+                    # the chunk-granular decode can overshoot both the
+                    # done latch and max_decoder_steps by < one chunk;
+                    # the reported length and every sample streamed from
+                    # here are trimmed to the capped decoded length
+                    n_dec = min(n_dec, self.max_decoder_steps)
+                    n_total = streaming.decoded_samples(self.cfg, self.ap,
+                                                        n_dec)
+
+                def put(audio_1xm):
+                    if n_total is not None:
+                        keep = max(0, n_total - slot.emitted)
+                        audio_1xm = audio_1xm[:, :keep]
+                    if audio_1xm.shape[1]:
+                        slot.out_q.put(("audio", audio_1xm[0]))
+                        slot.emitted += audio_1xm.shape[1]
+
+                audio, _ = slot.emitter.feed_finish(tokens[b])
+                put(audio)
+                if retire:
+                    tail, _ = slot.emitter.finish()
+                    put(tail)
                     slot.out_q.put(("end", n_dec))
                     self._slots[b] = None
             return len(active)

@@ -25,7 +25,9 @@ chunk-by-chunk:
      the window's future edge; quality is pinned vs whole-utterance GL in
      tests/test_streaming.py (streamed comes out *better* than the batch
      default). The inverse-preemphasis IIR is continued EXACTLY across
-     chunks (dsp/stft.py:inv_preemphasis_carry).
+     chunks (host-side scipy lfilter with carried filter state;
+     dsp/stft.py:inv_preemphasis_carry is the device-side equivalent for
+     in-graph pipelines).
 
 The reference has no streaming path at all — its incremental_forward
 decodes frame-by-frame in Python but still vocodes the whole utterance at
@@ -56,6 +58,14 @@ _GL_FN_CACHE = {}     # AudioProcessor -> jitted window vocoder
 # ---------------------------------------------------------------------------
 # converter receptive field (exactness contract for windowed application)
 # ---------------------------------------------------------------------------
+
+
+def decoded_samples(cfg, ap, dec_steps):
+    """Waveform samples corresponding to `dec_steps` decoder steps:
+    dec_steps * r mel frames, upsampled by the converter, hop samples per
+    linear frame. THE trim formula for every streaming consumer."""
+    up = getattr(cfg.converter, "time_upsampling", 1)
+    return int(dec_steps) * cfg.r * up * ap.hop_size
 
 
 def converter_context(ccfg):
@@ -292,6 +302,13 @@ class StreamingVocoder:
                           )[:, -self.gl_context:]
         lo, hi = n_ctx * self.hop, (n_ctx + n_emit) * self.hop
         if self._had_tail:
+            # a negative start would silently wrap to the array tail and
+            # corrupt the seam — the emitted context must cover the
+            # crossfade (the pipeline defaults guarantee it; a custom
+            # xfade can violate it)
+            assert lo >= self.xfade, (
+                "crossfade (%d samples) exceeds the emitted context "
+                "(%d samples)" % (self.xfade, lo))
             token = (wav_win[:, lo - self.xfade:hi], True)
         else:
             token = (wav_win[:, :hi], False)

@@ -37,8 +37,8 @@ synthesis.py CLI cannot offer (reference synthesis.py:42-73 writes files
 after full synthesis).
 """
 import argparse
-import io
 import json
+import queue
 import struct
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -107,31 +107,57 @@ class TTSEngine:
             q = self.batcher.submit(
                 text, None if speaker_id is None else int(speaker_id))
             while True:
-                kind, payload = q.get(timeout=600)
+                try:
+                    kind, payload = q.get(timeout=600)
+                except queue.Empty:
+                    # overloaded backlog: end the (possibly partial)
+                    # stream cleanly rather than leaking the handler
+                    return
                 if kind == "end":
                     return
                 yield payload
             return
 
+        # Lock-mode synthesis runs in a PRODUCER thread that holds the
+        # model lock only while synthesizing; this generator (suspended
+        # across the caller's client-socket writes) never holds it — a
+        # slow-reading client must not block other requests behind a
+        # network-bound transfer.
         from deepvoice3_pytorch_tpu import streaming
 
         spk = None if speaker_id is None else [int(speaker_id)]
-        with self.lock:
-            up = getattr(self.cfg.converter, "time_upsampling", 1)
-            emitted = 0
-            for chunk in streaming.tts_stream(
-                    self.params, self.cfg, self.ap, self.frontend, [text],
-                    speaker_ids=spk,
-                    max_decoder_steps=self.max_decoder_steps):
-                audio = chunk["audio"][0]
-                if chunk["final"]:
-                    # trim the post-done tail of the final emission
-                    n_total = (int(chunk["decoded_steps"][0]) * self.cfg.r
-                               * up * self.ap.hop_size)
-                    audio = audio[:max(0, n_total - emitted)]
-                emitted += len(audio)
-                if len(audio):
-                    yield audio
+        q = queue.Queue()
+
+        def produce():
+            try:
+                with self.lock:
+                    emitted = 0
+                    for chunk in streaming.tts_stream(
+                            self.params, self.cfg, self.ap, self.frontend,
+                            [text], speaker_ids=spk,
+                            max_decoder_steps=self.max_decoder_steps):
+                        audio = chunk["audio"][0]
+                        if chunk["final"]:
+                            # trim the post-done tail of the final emission
+                            n_total = streaming.decoded_samples(
+                                self.cfg, self.ap,
+                                chunk["decoded_steps"][0])
+                            audio = audio[:max(0, n_total - emitted)]
+                        emitted += len(audio)
+                        if len(audio):
+                            q.put(("audio", audio))
+                q.put(("end", None))
+            except BaseException as e:           # surface in the handler
+                q.put(("error", e))
+
+        threading.Thread(target=produce, daemon=True).start()
+        while True:
+            kind, payload = q.get(timeout=600)
+            if kind == "end":
+                return
+            if kind == "error":
+                raise payload
+            yield payload
 
 
 def make_handler(engine):

@@ -74,10 +74,9 @@ def _stream_batch(params, cfg, ap, frontend_mod, texts, args, spk):
     audio = np.concatenate([c["audio"] for c in chunks], axis=1)
     dec = chunks[-1]["decoded_steps"]
     align = chunks[-1]["alignment"]
-    up = getattr(cfg.converter, "time_upsampling", 1)
     results = []
     for i in range(len(texts)):
-        n = int(dec[i]) * cfg.r * up * ap.hop_size
+        n = streaming.decoded_samples(cfg, ap, dec[i])
         results.append({"waveform": audio[i, :n],
                         "alignment": align[i, :int(dec[i])]})
     return results

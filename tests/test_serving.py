@@ -75,20 +75,16 @@ def test_mid_stream_admission_matches_fresh_streams():
                                      gl_context=CTX)
 
     assert dec_a == ref_dec_a and dec_b == ref_dec_b
-    # the batcher trims to the decoded length but cannot retract samples
-    # already streamed, so it may exceed the trim by < one chunk
-    for got, ref, cfg_r in ((audio_a, ref_a, cfg.r), (audio_b, ref_b,
-                                                      cfg.r)):
-        up = getattr(cfg.converter, "time_upsampling", 1)
-        assert len(ref) <= len(got) \
-            <= len(ref) + CHUNK * cfg_r * up * ap.hop_size
+    # the batcher applies the decoded-length trim to every emission after
+    # the latch is detected, so streams end EXACTLY at the decoded length
+    assert len(audio_a) == len(ref_a) and len(audio_b) == len(ref_b)
+    for got, ref in ((audio_a, ref_a), (audio_b, ref_b)):
         # batched rows vs batch-1 matmuls differ in the last ulp;
         # Griffin-Lim amplifies that over its iterations — close, not
         # bitwise
-        n = len(ref)
         scale = max(np.abs(ref).max(), 1e-6)
-        assert np.abs(got[:n] - ref).max() <= 0.05 * scale, \
-            np.abs(got[:n] - ref).max() / scale
+        assert np.abs(got - ref).max() <= 0.05 * scale, \
+            np.abs(got - ref).max() / scale
 
 
 def test_slot_reuse_after_retirement():
@@ -112,10 +108,9 @@ def test_slot_reuse_after_retirement():
                                      max_steps=MAX, pad_to=PAD,
                                      gl_context=CTX)
     assert dec_c == ref_dec_c
-    n = len(ref_c)
-    assert len(audio_c) >= n
+    assert len(audio_c) == len(ref_c)
     scale = max(np.abs(ref_c).max(), 1e-6)
-    assert np.abs(audio_c[:n] - ref_c).max() <= 0.05 * scale
+    assert np.abs(audio_c - ref_c).max() <= 0.05 * scale
     assert audio_a.shape[0] > 0
 
 

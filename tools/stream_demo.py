@@ -105,7 +105,6 @@ def main():
     for _ in streaming.tts_stream(params, cfg, ap, en, [DEMO_TEXTS[0]],
                                   max_decoder_steps=200):
         pass
-    up = getattr(cfg.converter, "time_upsampling", 1)
     for i, text in enumerate(DEMO_TEXTS):
         gen = streaming.tts_stream(params, cfg, ap, en, [text],
                                    max_decoder_steps=200)
@@ -118,7 +117,7 @@ def main():
             chunks.append(c)
         audio = np.concatenate([c["audio"] for c in chunks], axis=1)[0]
         n_dec = int(chunks[-1]["decoded_steps"][0])
-        wav_stream = audio[:n_dec * cfg.r * up * ap.hop_size]
+        wav_stream = audio[:streaming.decoded_samples(cfg, ap, n_dec)]
         wav_batch = batch_res[i]["waveform"]
 
         ap.save_wav(wav_batch, os.path.join(args.outdir,
