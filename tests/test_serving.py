@@ -114,6 +114,45 @@ def test_slot_reuse_after_retirement():
     assert audio_a.shape[0] > 0
 
 
+def test_multispeaker_admission_matches_fresh_stream():
+    """Speaker-conditioned continuous batching: per-slot speaker biases,
+    position rates, and speaker embeddings scatter correctly — a slot
+    admitted mid-stream with speaker 3 matches a fresh speaker-3 stream."""
+    hp = default_hparams()
+    hp.parse("text_embed_dim=64,encoder_channels=32,decoder_channels=32,"
+             "converter_channels=32,outputs_per_step=4,downsample_step=1,"
+             "max_decoder_steps=48,n_speakers=4,speaker_embed_dim=16")
+    cfg, params = build_model(hp, en.n_vocab)
+    ap = AudioProcessor(hp)
+    CHUNK, MAX, PAD, CTX = 8, 16, 40, 8
+    batcher = serving.ContinuousBatcher(
+        params, cfg, ap, en, n_slots=2, text_pad=PAD, chunk=CHUNK,
+        max_decoder_steps=MAX, gl_context=CTX)
+
+    qa = batcher.submit(TEXT_A, speaker_id=1)
+    assert batcher.step() == 1
+    qb = batcher.submit(TEXT_B, speaker_id=3)   # mid-stream, other speaker
+    n = 0
+    while batcher.step():
+        n += 1
+        assert n < 50
+    audio_b, dec_b = _drain(qb)
+    _drain(qa)
+
+    chunks = list(streaming.tts_stream(
+        params, cfg, ap, en, [TEXT_B], speaker_ids=[3],
+        max_decoder_steps=MAX, first_chunk=CHUNK, chunk=CHUNK,
+        gl_context=CTX, pad_to=PAD))
+    ref = np.concatenate([c["audio"] for c in chunks], axis=1)[0]
+    ref_dec = int(chunks[-1]["decoded_steps"][0])
+    ref = ref[:streaming.decoded_samples(cfg, ap, ref_dec)]
+
+    assert dec_b == ref_dec
+    assert len(audio_b) == len(ref)
+    scale = max(np.abs(ref).max(), 1e-6)
+    assert np.abs(audio_b - ref).max() <= 0.05 * scale
+
+
 def test_serve_http_slots_concurrent():
     """serve.py --slots: two SIMULTANEOUS requests stream from the same
     slot batch, each getting a complete WAV."""
