@@ -405,7 +405,70 @@ def bench_streaming(params, cfg, hp, ap, n_timed=5):
     # programs — the serving-throughput case (TTFA barely moves, aggregate
     # RTF scales with the batch)
     out["concurrent_8"] = row(8)
+    if os.environ.get("DV3_BENCH_CB", "1") != "0":
+        out["continuous_batching"] = bench_continuous_batching(
+            params, cfg, hp, ap)
     return out
+
+
+def bench_continuous_batching(params, cfg, hp, ap):
+    """serve.py --slots capability row: four requests arrive STAGGERED
+    (50 ms apart) and share one slot batch, each joining mid-stream at a
+    chunk boundary (serving.ContinuousBatcher). Reports per-request TTFA
+    and the aggregate streamed RTF. Numbers on this dev harness are
+    bounded by the per-chunk tunnel sync; correctness (admitted ==
+    fresh stream) is pinned by tests/test_serving.py."""
+    import threading
+
+    from deepvoice3_pytorch_tpu import streaming
+    from deepvoice3_pytorch_tpu.frontend import en
+    from deepvoice3_pytorch_tpu.serving import ContinuousBatcher
+
+    b = ContinuousBatcher(params, cfg, ap, en, n_slots=4, text_pad=64,
+                          chunk=16, max_decoder_steps=200)
+    stop = threading.Event()
+    worker = threading.Thread(target=b.run_loop, args=(stop,), daemon=True)
+    worker.start()
+
+    def req(text):
+        t0 = time.perf_counter()
+        q = b.submit(text)
+        first = None
+        n = 0
+        while True:
+            kind, payload = q.get(timeout=600)
+            if kind == "end":
+                return first, time.perf_counter() - t0, n
+            if first is None:
+                first = time.perf_counter() - t0
+            n += len(payload)
+
+    req(SENTENCES[0])                    # warmup: compiles all programs
+    results = {}
+
+    def worker_req(i):
+        time.sleep(0.05 * i)
+        results[i] = req(SENTENCES[i])
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=worker_req, args=(i,))
+               for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    stop.set()
+    audio_s = sum(r[2] for r in results.values()) / hp.sample_rate
+    return {
+        "n_requests": 4,
+        "arrival_stagger_ms": 50,
+        "ttfa_ms_per_request": [round(results[i][0] * 1e3, 1)
+                                for i in range(4)],
+        "wall_ms": round(wall * 1e3, 1),
+        "audio_seconds": round(audio_s, 2),
+        "aggregate_rtf": round(audio_s / wall, 2),
+    }
 
 
 def bench_vctk_multispeaker(B, T_DEC, n_timed=5):
