@@ -136,11 +136,21 @@ class ContinuousBatcher:
     # -- request side -------------------------------------------------------
 
     def submit(self, text, speaker_id=None, p=0.0):
-        """Thread-safe: enqueue a request; returns the delivery queue."""
+        """Thread-safe: enqueue a request; returns the delivery queue.
+
+        Queue items: ("audio", (m,) float32), then ("end", decoded_steps);
+        ("error", exception) if the engine failed the request."""
         seq = np.asarray(self.frontend.text_to_sequence(text, p=p), np.int32)
         if len(seq) > self.text_pad:
             raise ValueError("text longer than text_pad=%d tokens"
                              % self.text_pad)
+        # speaker-ness must be uniform across the slot batch: the slot
+        # arrays are allocated once, with or without speaker-bias rows
+        multispeaker = "embed_speakers" in self.params
+        if multispeaker and speaker_id is None:
+            raise ValueError("multi-speaker model: speaker_id is required")
+        if not multispeaker and speaker_id is not None:
+            raise ValueError("single-speaker model: speaker_id must be None")
         out_q = queue.Queue()
         self._waiting.put((seq, speaker_id, out_q))
         return out_q
@@ -285,11 +295,35 @@ class ContinuousBatcher:
                     self._slots[b] = None
             return len(active)
 
+    def _fail_all(self, exc):
+        """Deliver an engine failure to every in-flight and waiting
+        request, then reset the slots so the worker can keep serving."""
+        with self._lock:
+            for b in range(self.n_slots):
+                if self._slots[b] is not None:
+                    self._slots[b].out_q.put(("error", exc))
+                    self._slots[b] = None
+        while True:
+            try:
+                _, _, out_q = self._waiting.get_nowait()
+            except queue.Empty:
+                break
+            out_q.put(("error", exc))
+
     def run_loop(self, stop_event):
         """Worker loop for serve.py: steps while work exists, sleeps
-        briefly when idle."""
+        briefly when idle. An engine error fails the affected requests
+        (("error", exc) on their queues) instead of silently killing the
+        worker — the loop keeps serving."""
         import time
+        import traceback
 
         while not stop_event.is_set():
-            if self.step() == 0:
+            try:
+                n = self.step()
+            except Exception as e:              # noqa: BLE001
+                traceback.print_exc()
+                self._fail_all(e)
+                n = 0
+            if n == 0:
                 time.sleep(0.005)

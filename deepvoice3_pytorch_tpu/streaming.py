@@ -82,6 +82,14 @@ def converter_context(ccfg):
     left = right = 0.0
     for s in ccfg.specs:
         if s.kind == "convT":
+            # only the tiling case is context-free; an overlapping convT
+            # (kw > stride) would make output frames depend on neighbor
+            # inputs and silently break the windowed==full contract
+            if s.kernel_size != s.stride:
+                raise NotImplementedError(
+                    "converter_context: convT with kernel_size != stride "
+                    "(%d != %d) needs explicit receptive-field handling"
+                    % (s.kernel_size, s.stride))
             rate *= s.stride
         elif s.kernel_size > 1:
             span = (s.kernel_size - 1) * s.dilation
@@ -330,8 +338,12 @@ class StreamingVocoder:
         if head is not None:
             out.append(self._raw_tail * (1.0 - self._ramp)
                        + head * self._ramp)
-        out.append(raw[:, :-self.xfade])
-        self._raw_tail = raw[:, -self.xfade:]
+        # explicit end index rather than the negative-slice idiom: with
+        # xfade=0 (crossfade disabled) raw[:, :-0] would emit NOTHING and
+        # hold back the whole window
+        cut = raw.shape[1] - self.xfade
+        out.append(raw[:, :cut])
+        self._raw_tail = raw[:, cut:]
         return np.concatenate(out, axis=1)
 
     def push_async(self, lin_new):

@@ -115,6 +115,8 @@ class TTSEngine:
                     return
                 if kind == "end":
                     return
+                if kind == "error":
+                    raise payload
                 yield payload
             return
 
@@ -152,7 +154,10 @@ class TTSEngine:
 
         threading.Thread(target=produce, daemon=True).start()
         while True:
-            kind, payload = q.get(timeout=600)
+            try:
+                kind, payload = q.get(timeout=600)
+            except queue.Empty:
+                return        # stalled producer: end the stream cleanly
             if kind == "end":
                 return
             if kind == "error":

@@ -196,6 +196,31 @@ def test_serve_http_slots_concurrent():
         server.shutdown()
 
 
+def test_speaker_policy_enforced_at_submit():
+    """Slot arrays are allocated once with or without speaker-bias rows,
+    so speaker-ness must be uniform: a multi-speaker model rejects
+    speaker_id=None and a single-speaker model rejects speaker_id."""
+    import pytest
+
+    cfg, params, ap = _setup()
+    b = serving.ContinuousBatcher(params, cfg, ap, en, n_slots=1,
+                                  text_pad=40, chunk=8,
+                                  max_decoder_steps=16)
+    with pytest.raises(ValueError):
+        b.submit(TEXT_C, speaker_id=0)       # single-speaker model
+
+    hp = default_hparams()
+    hp.parse("text_embed_dim=64,encoder_channels=32,decoder_channels=32,"
+             "converter_channels=32,outputs_per_step=4,downsample_step=1,"
+             "max_decoder_steps=48,n_speakers=4,speaker_embed_dim=16")
+    cfg2, params2 = build_model(hp, en.n_vocab)
+    b2 = serving.ContinuousBatcher(params2, cfg2, AudioProcessor(hp), en,
+                                   n_slots=1, text_pad=40, chunk=8,
+                                   max_decoder_steps=16)
+    with pytest.raises(ValueError):
+        b2.submit(TEXT_C)                    # multi-speaker model
+
+
 def test_text_too_long_rejected():
     cfg, params, ap = _setup()
     batcher = serving.ContinuousBatcher(params, cfg, ap, en, n_slots=1,

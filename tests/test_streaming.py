@@ -249,6 +249,24 @@ def test_serve_http_streaming():
         server.shutdown()
 
 
+def test_streaming_vocoder_xfade_zero():
+    """xfade=0 (crossfade disabled) must emit every sample exactly once —
+    the negative-slice idiom previously withheld the whole window."""
+    hp, cfg, params, ap = _tiny_setup()
+    rs = np.random.RandomState(0)
+    spec = jnp.asarray(rs.rand(2, 24, hp.fft_size // 2 + 1)
+                       .astype(np.float32))
+    voc = streaming.StreamingVocoder(ap, gl_context=8, gl_lookahead=0,
+                                     xfade=0)
+    parts = [voc.push(spec[:, :10]), voc.push(spec[:, 10:])]
+    tail = voc.flush()
+    if tail is not None:
+        parts.append(tail)
+    audio = np.concatenate(parts, axis=1)
+    assert audio.shape == (2, 24 * ap.hop_size)
+    assert np.isfinite(audio).all()
+
+
 def test_streaming_vocoder_quality_vs_whole():
     """Windowed phase-coherent GL on the golden fixture: the streamed
     waveform's spectral convergence must stay within 5% of the
