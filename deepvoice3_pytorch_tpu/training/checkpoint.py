@@ -10,6 +10,8 @@ the reference import via utils/torch_import.py.
 
 import os
 import pickle
+import queue
+import threading
 from os.path import join
 
 import numpy as np
@@ -52,13 +54,97 @@ def checkpoint_path(checkpoint_dir, step, suffix=""):
                 "checkpoint_step{:09d}{}.ckpt".format(step, suffix))
 
 
+class _AsyncWriter:
+    """Single background thread that fetches device snapshots to host and
+    serializes them, in submission order. Keeps the training loop stepping
+    during checkpoint saves: the device→host transfer (the dominant cost —
+    seconds through a slow host link, ~params-size/PCIe-bandwidth anywhere)
+    happens off the step path. One queued save at a time: if a save is still
+    in flight when the next one is submitted, the submitter blocks until the
+    previous write lands (never unbounded memory, never reordered files)."""
+
+    def __init__(self):
+        self._q = queue.Queue(maxsize=1)
+        self._errors = []
+        self._thread = None
+        self._lock = threading.Lock()
+
+    def _ensure_thread(self):
+        with self._lock:
+            if self._thread is None or not self._thread.is_alive():
+                self._thread = threading.Thread(
+                    target=self._run, name="ckpt-writer", daemon=True)
+                self._thread.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                self._q.task_done()
+                return
+            blob, path, done = item
+            try:
+                blob = dict(blob, params=_to_host(blob["params"]),
+                            opt_state=_to_host(blob["opt_state"]))
+                _save_blob(blob, path)
+            except Exception as e:  # surfaced at the next wait()/submit
+                self._errors.append(e)
+            finally:
+                done.set()
+                self._q.task_done()
+
+    def submit(self, blob, path):
+        self.raise_pending_errors()
+        self._ensure_thread()
+        done = threading.Event()
+        self._q.put((blob, path, done))  # blocks if a save is in flight
+        return done
+
+    def wait(self):
+        """Block until every submitted save has been written; re-raise the
+        first background failure so a bad disk never loses work silently."""
+        if self._thread is not None and self._thread.is_alive():
+            self._q.join()
+        self.raise_pending_errors()
+
+    def raise_pending_errors(self):
+        if self._errors:
+            e, self._errors = self._errors[0], []
+            raise RuntimeError("async checkpoint save failed") from e
+
+
+_writer = _AsyncWriter()
+
+
+def wait_pending_saves():
+    """Flush the async checkpoint writer (call before process exit and
+    before any synchronous save that must supersede queued ones)."""
+    _writer.wait()
+
+
+def _device_snapshot(tree):
+    """HBM→HBM copy of every leaf. Cheap (bandwidth-bound, no host sync) and
+    REQUIRED before an async save: the train step donates its opt_state/params
+    buffers (trainer.py donate_argnums), so by the time the writer thread
+    fetches them the originals may have been overwritten by step N+1.
+    Deliberately eager (not jitted): jnp.copy dispatches a standalone copy
+    per leaf, so the snapshot can never be buffer-aliased back to the live
+    training state by a compiler pass."""
+    return jax.tree.map(jnp.copy, tree)
+
+
 def save_checkpoint(checkpoint_dir, params, opt_state, step, epoch, *,
                     train_seq2seq=True, train_postnet=True,
-                    save_optimizer_state=True):
+                    save_optimizer_state=True, async_save=False):
     """Whole / _seq2seq / _postnet suffixed saves (reference
-    train.py:788-809)."""
+    train.py:788-809).
+
+    async_save=True returns immediately after an HBM-resident snapshot of
+    the payload (safe against the train step's buffer donation); the
+    device→host fetch and the file write run on a background writer thread.
+    Call wait_pending_saves() before exit. The written file is byte-level
+    identical in content to a synchronous save of the same state."""
     os.makedirs(checkpoint_dir, exist_ok=True)
-    params = _to_host(params)
     if train_seq2seq and train_postnet:
         suffix, payload = "", params
     elif train_seq2seq:
@@ -70,15 +156,22 @@ def save_checkpoint(checkpoint_dir, params, opt_state, step, epoch, *,
     keep_opt = save_optimizer_state and opt_state is not None
     blob = {
         "params": payload,
-        "opt_state": (_to_host(flatten_opt_state(opt_state))
-                      if keep_opt else None),
+        "opt_state": flatten_opt_state(opt_state) if keep_opt else None,
         "opt_fingerprint": (opt_state_fingerprint(opt_state)
                             if keep_opt else None),
         "global_step": int(step),
         "global_epoch": int(epoch),
     }
     path = checkpoint_path(checkpoint_dir, int(step), suffix)
-    _save_blob(blob, path)
+    if async_save:
+        arrays = {"params": blob["params"], "opt_state": blob["opt_state"]}
+        snap = _device_snapshot(arrays)
+        blob.update(params=snap["params"], opt_state=snap["opt_state"])
+        _writer.submit(blob, path)
+    else:
+        blob.update(params=_to_host(blob["params"]),
+                    opt_state=_to_host(blob["opt_state"]))
+        _save_blob(blob, path)
     return path
 
 

@@ -393,6 +393,54 @@ def test_checkpoint_roundtrip(tmp_path):
     assert os2 is not None
 
 
+def test_checkpoint_async_matches_sync(tmp_path):
+    """async_save writes the same content a synchronous save would, and the
+    device snapshot makes it immune to the train step's buffer donation:
+    steps taken AFTER submit must not leak into the written file."""
+    hp = _HP()
+    cfg = _tiny_cfg(dropout=0.0)
+    params = jx_builder.model_init(jax.random.PRNGKey(0), cfg)
+    lc = trainer.loss_config_from_hparams(hp)
+    lr_fn = trainer.make_lr_fn(hp)
+    opt = trainer.make_optimizer(hp, lr_fn)
+    mask = trainer.trainable_mask(params, cfg)
+    step_fn = trainer.make_train_step(cfg, lc, opt, mask)
+    state = trainer.init_train_state(params, opt)
+    batch = jax.tree.map(jnp.asarray, _tiny_batch())
+    for i in range(3):
+        state, _ = step_fn(state, batch, jax.random.PRNGKey(i))
+
+    sync_dir, async_dir = str(tmp_path / "sync"), str(tmp_path / "async")
+    ckpt.save_checkpoint(sync_dir, state.params, state.opt_state, 3, 0)
+    ckpt.save_checkpoint(async_dir, state.params, state.opt_state, 3, 0,
+                         async_save=True)
+    # mutate the live (donated) buffers while the async write may be in
+    # flight — the file must hold the step-3 values
+    for i in range(5):
+        state, _ = step_fn(state, batch, jax.random.PRNGKey(100 + i))
+    ckpt.wait_pending_saves()
+
+    a = ckpt._load_blob(ckpt.checkpoint_path(sync_dir, 3))
+    b = ckpt._load_blob(ckpt.checkpoint_path(async_dir, 3))
+    assert a["global_step"] == b["global_step"] == 3
+    assert a["opt_fingerprint"] == b["opt_fingerprint"]
+    la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_checkpoint_async_surfaces_write_errors(tmp_path):
+    # a background write into a nonexistent directory must fail loudly at
+    # the flush point, not be swallowed by the writer thread
+    blob = {"params": {"w": np.zeros(3, np.float32)}, "opt_state": None,
+            "opt_fingerprint": None, "global_step": 1, "global_epoch": 0}
+    ckpt._writer.submit(blob, str(tmp_path / "missing_dir" / "x.ckpt"))
+    with pytest.raises(RuntimeError, match="async checkpoint save failed"):
+        ckpt.wait_pending_saves()
+    ckpt.wait_pending_saves()  # error queue drained; writer is reusable
+
+
 def test_checkpoint_halves_and_restore_parts(tmp_path):
     cfg = _tiny_cfg()
     params = jx_builder.model_init(jax.random.PRNGKey(0), cfg)

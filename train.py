@@ -382,12 +382,16 @@ def main():
                         _save_states(global_step, batch)
                     except Exception as e:
                         print("save_states failed:", e)
+                    # async: HBM snapshot now, host fetch + write on the
+                    # background writer thread — the step loop never stalls
+                    # on the device->host checkpoint transfer
                     ckpt.save_checkpoint(
                         args.checkpoint_dir, state.params, state.opt_state,
                         global_step, global_epoch,
                         train_seq2seq=train_seq2seq,
                         train_postnet=train_postnet,
-                        save_optimizer_state=hparams.save_optimizer_state)
+                        save_optimizer_state=hparams.save_optimizer_state,
+                        async_save=True)
                 if global_step > 0 and global_step % eval_interval == 0:
                     # tp-sharded params cannot enter the single-program
                     # Pallas decode kernel; force the scan path for eval
@@ -409,6 +413,10 @@ def main():
         print("Interrupted — saving checkpoint")
     finally:
         tracer.close()
+        try:
+            ckpt.wait_pending_saves()
+        except RuntimeError as e:
+            print("background checkpoint save failed:", e)
         ckpt.save_checkpoint(
             args.checkpoint_dir, state.params, state.opt_state, global_step,
             global_epoch, train_seq2seq=train_seq2seq,
