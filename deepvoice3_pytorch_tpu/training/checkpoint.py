@@ -122,14 +122,20 @@ def wait_pending_saves():
     _writer.wait()
 
 
+@jax.jit
 def _device_snapshot(tree):
     """HBM→HBM copy of every leaf. Cheap (bandwidth-bound, no host sync) and
     REQUIRED before an async save: the train step donates its opt_state/params
     buffers (trainer.py donate_argnums), so by the time the writer thread
     fetches them the originals may have been overwritten by step N+1.
-    Deliberately eager (not jitted): jnp.copy dispatches a standalone copy
-    per leaf, so the snapshot can never be buffer-aliased back to the live
-    training state by a compiler pass."""
+    One jitted program, NOT an eager per-leaf copy loop: per-dispatch
+    overhead times hundreds of leaves is seconds on a remote-dispatch
+    backend (measured 6.8 s at LJSpeech-preset state size via the dev
+    tunnel; one dispatch is ~ms). Buffer-distinctness of the copied outputs
+    (inputs are not donated, so XLA may not alias results back onto the
+    live param buffers) is pinned by
+    test_checkpoint_async_matches_sync, which mutates the donated source
+    buffers while the save is in flight."""
     return jax.tree.map(jnp.copy, tree)
 
 

@@ -177,6 +177,13 @@ def main():
     parser.add_argument("--train-seq2seq-only", action="store_true")
     parser.add_argument("--train-postnet-only", action="store_true")
     parser.add_argument("--restore-parts", type=str, default=None)
+    parser.add_argument("--async-checkpoint", action="store_true",
+                        help="Write periodic checkpoints from a background "
+                        "thread (HBM snapshot, zero step-loop stall). The "
+                        "right default on PCIe-attached hosts; off here "
+                        "because the dev harness's shared device link makes "
+                        "concurrent bulk fetch + step dispatch net-negative "
+                        "(tools/async_ckpt_probe.py, DESIGN.md)")
     parser.add_argument("--log-event-path", type=str, default=None)
     parser.add_argument("--reset-optimizer", action="store_true")
     parser.add_argument("--load-embedding", type=str, default=None)
@@ -382,16 +389,16 @@ def main():
                         _save_states(global_step, batch)
                     except Exception as e:
                         print("save_states failed:", e)
-                    # async: HBM snapshot now, host fetch + write on the
-                    # background writer thread — the step loop never stalls
-                    # on the device->host checkpoint transfer
+                    # --async-checkpoint: HBM snapshot now, host fetch +
+                    # write on the background writer thread — the step loop
+                    # never stalls on the device->host checkpoint transfer
                     ckpt.save_checkpoint(
                         args.checkpoint_dir, state.params, state.opt_state,
                         global_step, global_epoch,
                         train_seq2seq=train_seq2seq,
                         train_postnet=train_postnet,
                         save_optimizer_state=hparams.save_optimizer_state,
-                        async_save=True)
+                        async_save=args.async_checkpoint)
                 if global_step > 0 and global_step % eval_interval == 0:
                     # tp-sharded params cannot enter the single-program
                     # Pallas decode kernel; force the scan path for eval
