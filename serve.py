@@ -24,6 +24,11 @@ Endpoints:
         live streams; players treat it as "read until EOF".
     GET /healthz
         200 "ok" once the model is loaded and warmed.
+    GET /stats
+        JSON serving metrics: request counts, in-flight streams,
+        time-to-first-audio distribution (last 512 requests: mean/p50/p95),
+        total audio seconds produced, slot configuration and queue backlog
+        (continuous-batching mode), uptime.
 
 By default the server synthesizes one request at a time (a lock
 serializes model access). With --slots=N it runs CONTINUOUS BATCHING
@@ -37,10 +42,12 @@ synthesis.py CLI cannot offer (reference synthesis.py:42-73 writes files
 after full synthesis).
 """
 import argparse
+import collections
 import json
 import queue
 import struct
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -82,6 +89,11 @@ class TTSEngine:
         self.lock = threading.Lock()
         self.batcher = None
         self._stop = threading.Event()
+        self._t_start = time.time()
+        self._stats_lock = threading.Lock()
+        self._counts = {"requests_total": 0, "requests_failed": 0,
+                        "active_streams": 0, "audio_seconds_total": 0.0}
+        self._ttfa_ms = collections.deque(maxlen=512)
         if slots:
             from deepvoice3_pytorch_tpu.serving import ContinuousBatcher
 
@@ -97,10 +109,59 @@ class TTSEngine:
         self._stop.set()
 
     def warmup(self):
-        for _ in self.stream("warm up."):
+        # _stream_inner directly: the compile-heavy warmup request must not
+        # pollute the serving TTFA distribution
+        for _ in self._stream_inner("warm up."):
             pass
 
+    def stats(self):
+        """Serving metrics snapshot (the /stats endpoint)."""
+        with self._stats_lock:
+            s = dict(self._counts)
+            ttfa = sorted(self._ttfa_ms)
+        s["audio_seconds_total"] = round(s["audio_seconds_total"], 3)
+        if ttfa:
+            n = len(ttfa)
+            s["ttfa_ms"] = {
+                "count": n,
+                "mean": round(sum(ttfa) / n, 1),
+                "p50": round(ttfa[n // 2], 1),
+                "p95": round(ttfa[min(n - 1, int(0.95 * n))], 1),
+            }
+        s["slots"] = self.batcher.n_slots if self.batcher else 0
+        if self.batcher is not None:
+            s["backlog"] = self.batcher.pending()
+        s["uptime_s"] = round(time.time() - self._t_start, 1)
+        return s
+
     def stream(self, text, speaker_id=None):
+        """_stream_inner plus serving metrics: request/failure counters,
+        in-flight gauge, time-to-first-audio, audio seconds produced."""
+        t0 = time.perf_counter()
+        with self._stats_lock:
+            self._counts["requests_total"] += 1
+            self._counts["active_streams"] += 1
+        n_samples, first = 0, True
+        try:
+            for audio in self._stream_inner(text, speaker_id=speaker_id):
+                if first:
+                    first = False
+                    with self._stats_lock:
+                        self._ttfa_ms.append(
+                            (time.perf_counter() - t0) * 1000.0)
+                n_samples += len(audio)
+                yield audio
+        except BaseException:
+            with self._stats_lock:
+                self._counts["requests_failed"] += 1
+            raise
+        finally:
+            with self._stats_lock:
+                self._counts["active_streams"] -= 1
+                self._counts["audio_seconds_total"] += \
+                    n_samples / float(self.ap.sample_rate)
+
+    def _stream_inner(self, text, speaker_id=None):
         """Yields float32 sample chunks for one utterance, trimmed to the
         decoded length."""
         if self.batcher is not None:
@@ -188,6 +249,9 @@ def make_handler(engine):
                 self.send_header("Content-Length", "2")
                 self.end_headers()
                 self.wfile.write(b"ok")
+                return
+            if url.path == "/stats":
+                self._json(200, engine.stats())
                 return
             if url.path != "/tts":
                 self._json(404, {"error": "unknown path %s" % url.path})

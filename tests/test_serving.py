@@ -196,6 +196,52 @@ def test_serve_http_slots_concurrent():
         server.shutdown()
 
 
+def test_serve_http_stats_endpoint():
+    """/stats reports request counts, TTFA distribution, audio seconds,
+    failures (a policy-rejected speaker_id), and slot backlog fields."""
+    import json as json_mod
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    import serve as serve_mod
+
+    cfg, params, ap = _setup()
+    engine = serve_mod.TTSEngine(params, cfg, ap, en, max_decoder_steps=24,
+                                 slots=2, text_pad=40)
+    server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                 serve_mod.make_handler(engine))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        base = "http://127.0.0.1:%d" % port
+        with urllib.request.urlopen(
+                base + "/tts?text=stats%20test%20sentence.",
+                timeout=600) as r:
+            body = r.read()
+        assert body[:4] == b"RIFF"
+        # speaker_id on a single-speaker model: submit-time policy error
+        try:
+            urllib.request.urlopen(base + "/tts?text=x&speaker_id=3",
+                                   timeout=600).read()
+            assert False, "expected HTTP 500"
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+
+        with urllib.request.urlopen(base + "/stats", timeout=600) as r:
+            s = json_mod.loads(r.read())
+        assert s["requests_total"] == 2          # warmup not counted
+        assert s["requests_failed"] == 1
+        assert s["active_streams"] == 0
+        assert s["audio_seconds_total"] > 0
+        assert s["ttfa_ms"]["count"] == 1 and s["ttfa_ms"]["p50"] > 0
+        assert s["slots"] == 2 and s["backlog"] == 0
+        assert s["uptime_s"] >= 0
+    finally:
+        engine.shutdown()
+        server.shutdown()
+
+
 def test_speaker_policy_enforced_at_submit():
     """Slot arrays are allocated once with or without speaker-bias rows,
     so speaker-ness must be uniform: a multi-speaker model rejects
