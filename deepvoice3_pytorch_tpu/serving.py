@@ -91,6 +91,13 @@ class _Slot:
         self.emitted = 0          # samples delivered so far
 
 
+class BacklogFull(RuntimeError):
+    """Admission control: the waiting queue is at max_backlog. Callers
+    should shed the request (serve.py answers HTTP 503 + Retry-After)
+    rather than queue unboundedly — a TTS stream admitted minutes late is
+    worthless to the listener AND still costs chip time."""
+
+
 class ContinuousBatcher:
     """Fixed-slot continuous-batching streaming synthesizer.
 
@@ -101,7 +108,8 @@ class ContinuousBatcher:
 
     def __init__(self, params, cfg, ap, frontend_mod, *, n_slots=4,
                  text_pad=64, chunk=16, max_decoder_steps=200,
-                 gl_context=16, gl_lookahead=8, xfade=None, interpret=None):
+                 gl_context=16, gl_lookahead=8, xfade=None, interpret=None,
+                 max_backlog=None):
         dcfg = cfg.decoder
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
@@ -109,6 +117,9 @@ class ContinuousBatcher:
         self.frontend = frontend_mod
         self.n_slots, self.text_pad, self.chunk = n_slots, text_pad, chunk
         self.max_decoder_steps = max_decoder_steps
+        # default cap: 8 waiting requests per slot — at that depth a new
+        # request's first audio is already ~a full utterance away
+        self.max_backlog = 8 * n_slots if max_backlog is None else max_backlog
         self.interpret = interpret
         self.gl_kw = dict(gl_context=gl_context, gl_lookahead=gl_lookahead,
                           xfade=xfade)
@@ -151,6 +162,10 @@ class ContinuousBatcher:
             raise ValueError("multi-speaker model: speaker_id is required")
         if not multispeaker and speaker_id is not None:
             raise ValueError("single-speaker model: speaker_id must be None")
+        if self._waiting.qsize() >= self.max_backlog:
+            raise BacklogFull(
+                "waiting queue at max_backlog=%d; shed this request"
+                % self.max_backlog)
         out_q = queue.Queue()
         self._waiting.put((seq, speaker_id, out_q))
         return out_q

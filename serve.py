@@ -35,7 +35,10 @@ serializes model access). With --slots=N it runs CONTINUOUS BATCHING
 (deepvoice3_pytorch_tpu/serving.py): up to N utterances decode
 concurrently in one slot batch on the chip, new requests joining at
 decode-chunk boundaries — the same aggregate-throughput idea as
-continuous batching in LLM serving, for TTS streams.
+continuous batching in LLM serving, for TTS streams. Admission control:
+once --max-backlog requests wait for a slot (default 8 per slot), new
+requests are shed with HTTP 503 + Retry-After instead of queuing
+unboundedly.
 
 The reference has no serving path at all; this is the capability its
 synthesis.py CLI cannot offer (reference synthesis.py:42-73 writes files
@@ -80,7 +83,7 @@ class TTSEngine:
     joining at chunk boundaries; a worker thread drives the batch."""
 
     def __init__(self, params, cfg, ap, frontend_mod, max_decoder_steps,
-                 slots=0, text_pad=64):
+                 slots=0, text_pad=64, max_backlog=None):
         self.params = params
         self.cfg = cfg
         self.ap = ap
@@ -92,14 +95,16 @@ class TTSEngine:
         self._t_start = time.time()
         self._stats_lock = threading.Lock()
         self._counts = {"requests_total": 0, "requests_failed": 0,
-                        "active_streams": 0, "audio_seconds_total": 0.0}
+                        "requests_rejected": 0, "active_streams": 0,
+                        "audio_seconds_total": 0.0}
         self._ttfa_ms = collections.deque(maxlen=512)
         if slots:
             from deepvoice3_pytorch_tpu.serving import ContinuousBatcher
 
             self.batcher = ContinuousBatcher(
                 params, cfg, ap, frontend_mod, n_slots=slots,
-                text_pad=text_pad, max_decoder_steps=max_decoder_steps)
+                text_pad=text_pad, max_decoder_steps=max_decoder_steps,
+                max_backlog=max_backlog)
             self._worker = threading.Thread(
                 target=self.batcher.run_loop, args=(self._stop,),
                 daemon=True)
@@ -151,9 +156,13 @@ class TTSEngine:
                             (time.perf_counter() - t0) * 1000.0)
                 n_samples += len(audio)
                 yield audio
-        except BaseException:
+        except BaseException as e:
+            from deepvoice3_pytorch_tpu.serving import BacklogFull
+
+            key = ("requests_rejected" if isinstance(e, BacklogFull)
+                   else "requests_failed")
             with self._stats_lock:
-                self._counts["requests_failed"] += 1
+                self._counts[key] += 1
             raise
         finally:
             with self._stats_lock:
@@ -266,6 +275,17 @@ def make_handler(engine):
                 gen = engine.stream(text, speaker_id=speaker)
                 first = next(gen, None)
             except Exception as e:  # surface synth errors as HTTP 500
+                from deepvoice3_pytorch_tpu.serving import BacklogFull
+
+                if isinstance(e, BacklogFull):  # admission control: shed
+                    body = json.dumps({"error": str(e)}).encode()
+                    self.send_response(503)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Retry-After", "1")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 self._json(500, {"error": str(e)})
                 return
             self.send_response(200)
@@ -289,7 +309,7 @@ def make_handler(engine):
 
 
 def build_engine(checkpoint, preset=None, hparams_str="",
-                 max_decoder_steps=500, slots=0):
+                 max_decoder_steps=500, slots=0, max_backlog=None):
     from deepvoice3_pytorch_tpu import frontend as frontend_pkg
     from deepvoice3_pytorch_tpu.dsp.audio import AudioProcessor
     from deepvoice3_pytorch_tpu.hparams import hparams
@@ -305,7 +325,8 @@ def build_engine(checkpoint, preset=None, hparams_str="",
     params, _, _, _ = ckpt.load_checkpoint(checkpoint, params,
                                            reset_optimizer=True)
     ap = AudioProcessor(hparams)
-    return TTSEngine(params, cfg, ap, fe, max_decoder_steps, slots=slots)
+    return TTSEngine(params, cfg, ap, fe, max_decoder_steps, slots=slots,
+                     max_backlog=max_backlog)
 
 
 def main():
@@ -320,10 +341,15 @@ def main():
                         help="continuous batching: decode up to N "
                              "utterances concurrently in one slot batch "
                              "(deepvoice3 family only); 0 = one at a time")
+    parser.add_argument("--max-backlog", type=int, default=None,
+                        help="admission control (slots mode): reject with "
+                             "HTTP 503 once this many requests wait for a "
+                             "slot [default: 8*slots]")
     args = parser.parse_args()
 
     engine = build_engine(args.checkpoint, args.preset, args.hparams,
-                          args.max_decoder_steps, slots=args.slots)
+                          args.max_decoder_steps, slots=args.slots,
+                          max_backlog=args.max_backlog)
     print("warming up (compiles the streaming programs)...")
     engine.warmup()
     server = ThreadingHTTPServer((args.host, args.port),

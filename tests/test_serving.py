@@ -267,6 +267,61 @@ def test_speaker_policy_enforced_at_submit():
         b2.submit(TEXT_C)                    # multi-speaker model
 
 
+def test_backlog_admission_control():
+    """submit sheds requests once the waiting queue hits max_backlog (no
+    worker draining here, so the queue only grows)."""
+    import pytest
+
+    cfg, params, ap = _setup()
+    b = serving.ContinuousBatcher(params, cfg, ap, en, n_slots=1,
+                                  text_pad=40, chunk=8,
+                                  max_decoder_steps=16, max_backlog=2)
+    b.submit(TEXT_A)
+    b.submit(TEXT_B)
+    with pytest.raises(serving.BacklogFull):
+        b.submit(TEXT_C)
+
+
+def test_serve_http_backlog_returns_503():
+    """A BacklogFull at submit surfaces as HTTP 503 + Retry-After and is
+    counted as rejected (not failed) in /stats."""
+    import json as json_mod
+    import threading
+    import urllib.error
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    import serve as serve_mod
+
+    cfg, params, ap = _setup()
+    engine = serve_mod.TTSEngine(params, cfg, ap, en, max_decoder_steps=24,
+                                 slots=2, text_pad=40)
+
+    def full_submit(*a, **kw):
+        raise serving.BacklogFull("waiting queue at max_backlog=0")
+
+    engine.batcher.submit = full_submit
+    server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                 serve_mod.make_handler(engine))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        base = "http://127.0.0.1:%d" % port
+        try:
+            urllib.request.urlopen(base + "/tts?text=x", timeout=600).read()
+            assert False, "expected HTTP 503"
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+            assert e.headers["Retry-After"] == "1"
+        with urllib.request.urlopen(base + "/stats", timeout=600) as r:
+            s = json_mod.loads(r.read())
+        assert s["requests_rejected"] == 1
+        assert s["requests_failed"] == 0
+    finally:
+        engine.shutdown()
+        server.shutdown()
+
+
 def test_text_too_long_rejected():
     cfg, params, ap = _setup()
     batcher = serving.ContinuousBatcher(params, cfg, ap, en, n_slots=1,
