@@ -59,15 +59,17 @@ class _AsyncWriter:
     serializes them, in submission order. Keeps the training loop stepping
     during checkpoint saves: the device→host transfer (the dominant cost —
     seconds through a slow host link, ~params-size/PCIe-bandwidth anywhere)
-    happens off the step path. One queued save at a time: if a save is still
-    in flight when the next one is submitted, the submitter blocks until the
-    previous write lands (never unbounded memory, never reordered files)."""
+    happens off the step path. One save in flight at a time: submit()
+    waits on the PREVIOUS save's completion event before enqueuing, so at
+    most one device snapshot is alive in the writer at any moment (never
+    unbounded memory, never reordered files)."""
 
     def __init__(self):
         self._q = queue.Queue(maxsize=1)
         self._errors = []
         self._thread = None
         self._lock = threading.Lock()
+        self._last_done = None
 
     def _ensure_thread(self):
         with self._lock:
@@ -96,8 +98,15 @@ class _AsyncWriter:
     def submit(self, blob, path):
         self.raise_pending_errors()
         self._ensure_thread()
+        if self._last_done is not None:
+            # bound the writer to ONE outstanding snapshot: without this,
+            # Queue(maxsize=1) still allows one dequeued save in flight
+            # plus one queued — two full HBM snapshots alive
+            self._last_done.wait()
+            self.raise_pending_errors()
         done = threading.Event()
-        self._q.put((blob, path, done))  # blocks if a save is in flight
+        self._q.put((blob, path, done))
+        self._last_done = done
         return done
 
     def wait(self):

@@ -95,8 +95,8 @@ class TTSEngine:
         self._t_start = time.time()
         self._stats_lock = threading.Lock()
         self._counts = {"requests_total": 0, "requests_failed": 0,
-                        "requests_rejected": 0, "active_streams": 0,
-                        "audio_seconds_total": 0.0}
+                        "requests_rejected": 0, "requests_disconnected": 0,
+                        "active_streams": 0, "audio_seconds_total": 0.0}
         self._ttfa_ms = collections.deque(maxlen=512)
         if slots:
             from deepvoice3_pytorch_tpu.serving import ContinuousBatcher
@@ -135,7 +135,11 @@ class TTSEngine:
             }
         s["slots"] = self.batcher.n_slots if self.batcher else 0
         if self.batcher is not None:
-            s["backlog"] = self.batcher.pending()
+            # backlog = waiting-queue depth only (the number the
+            # max_backlog admission threshold compares against);
+            # active_slots = occupied slots, reported separately
+            s["backlog"] = self.batcher.waiting()
+            s["active_slots"] = self.batcher.active_slots()
         s["uptime_s"] = round(time.time() - self._t_start, 1)
         return s
 
@@ -156,6 +160,12 @@ class TTSEngine:
                             (time.perf_counter() - t0) * 1000.0)
                 n_samples += len(audio)
                 yield audio
+        except GeneratorExit:
+            # a client hanging up mid-stream closes the abandoned
+            # generator; that's a normal disconnect, not a synth failure
+            with self._stats_lock:
+                self._counts["requests_disconnected"] += 1
+            raise
         except BaseException as e:
             from deepvoice3_pytorch_tpu.serving import BacklogFull
 
@@ -340,7 +350,8 @@ def main():
     parser.add_argument("--slots", type=int, default=0,
                         help="continuous batching: decode up to N "
                              "utterances concurrently in one slot batch "
-                             "(deepvoice3 family only); 0 = one at a time")
+                             "(both model families; texts up to the "
+                             "model's max_positions); 0 = one at a time")
     parser.add_argument("--max-backlog", type=int, default=None,
                         help="admission control (slots mode): reject with "
                              "HTTP 503 once this many requests wait for a "
