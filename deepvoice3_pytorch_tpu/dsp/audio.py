@@ -21,6 +21,20 @@ import jax.numpy as jnp
 from . import stft as dsp
 
 
+_GL_FALLBACK_LOGGED = set()
+
+
+def _log_gl_fallback_once(shape):
+    key = tuple(shape)
+    if key not in _GL_FALLBACK_LOGGED:
+        _GL_FALLBACK_LOGGED.add(key)
+        import sys
+        print("deepvoice3_pytorch_tpu: Pallas GL working set for shape %r "
+              "exceeds this device's VMEM budget; using the XLA-scan "
+              "Griffin-Lim (same result, slower)" % (key,),
+              file=sys.stderr)
+
+
 class AudioProcessor:
     """Stateful wrapper caching jitted pipelines + constants per config."""
 
@@ -138,12 +152,17 @@ class AudioProcessor:
                                n_iters=self.gl_iters, center=centered,
                                mats=mats)
             if use_pallas_gl and S.ndim in (2, 3):
-                from .gl_pallas import griffin_lim_pallas
-                return griffin_lim_pallas(S, fft, hop, win,
-                                          n_iters=self.gl_iters, mats=mats,
-                                          momentum=self.gl_momentum,
-                                          phase_init=self.gl_phase_init,
-                                          center=centered)
+                # graceful degradation: on a small-VMEM device generation
+                # the whole-retrieval kernel can't hold its working set —
+                # take the XLA-scan path instead of failing (shapes are
+                # static at trace time, so this branch compiles away)
+                from . import gl_pallas
+                if gl_pallas.fits_vmem(S.shape[-2], fft, hop, S.shape[-1]):
+                    return gl_pallas.griffin_lim_pallas(
+                        S, fft, hop, win, n_iters=self.gl_iters, mats=mats,
+                        momentum=self.gl_momentum,
+                        phase_init=self.gl_phase_init, center=centered)
+                _log_gl_fallback_once(S.shape)
             return dsp.griffin_lim(S, fft, hop, win, n_iters=self.gl_iters,
                                    mats=mats, center=centered,
                                    momentum=self.gl_momentum,

@@ -70,6 +70,35 @@ def _device_vmem_budget():
     return 100 * 1024 * 1024
 
 
+def vmem_bytes_estimate(n, fft_size, hop, n_bins, with_init=False,
+                        return_spec=False):
+    """Per-item resident-VMEM footprint of the whole-retrieval kernel:
+    magnitude + bf16 scratch spectra + DFT matrices + OLA buffer + matmul
+    temporaries (~13 MB at n=600, F=513 — matches the header's number)."""
+    k = fft_size // hop
+    nb = n + k - 1
+    nF = n * n_bins
+    total = 4 * nF          # magnitude block (f32)
+    total += 8 * nF         # 4 bf16 scratch spectra
+    if with_init:
+        total += 8 * nF     # explicit (re, im) init blocks (f32)
+    if return_spec:
+        total += 8 * nF     # retrieved-spectrum output blocks (f32)
+    total += 8 * fft_size * n_bins   # 4 bf16 DFT matrices
+    total += 4 * nb * hop            # f32 OLA buffer
+    total += 16 * nF                 # matmul operand/accumulator slop
+    return total
+
+
+def fits_vmem(n, fft_size, hop, n_bins, **kw):
+    """True when the kernel's working set fits this device's VMEM budget.
+    Callers fall back to the XLA-scan griffin_lim when it doesn't (the
+    reference never hard-fails by device generation — audio.py:37-43
+    runs anywhere)."""
+    return vmem_bytes_estimate(n, fft_size, hop, n_bins, **kw) \
+        <= _device_vmem_budget()
+
+
 def _ola_norm(n_frames, fft_size, hop, window):
     """Squared-window overlap-add normalizer in (n+k-1, hop) block layout,
     pre-inverted (the kernel multiplies)."""

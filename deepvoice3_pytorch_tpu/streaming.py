@@ -264,13 +264,19 @@ class StreamingVocoder:
             else:
                 i_re, i_im = S * jnp.cos(phi), S * jnp.sin(phi)
             if use_pallas:
-                from .dsp.gl_pallas import griffin_lim_pallas
+                from .dsp import gl_pallas
 
-                n_pin = 0 if prev_spec is None else prev_spec[0].shape[1]
-                return griffin_lim_pallas(
-                    S, fft, hop, win, n_iters=iters, momentum=momentum,
-                    mats=mats, center=False, init_spec=(i_re, i_im),
-                    n_pinned=n_pin, return_spec=True)
+                # small-VMEM device generations: degrade to the XLA-scan
+                # path (identical boundary semantics) instead of failing
+                if gl_pallas.fits_vmem(S.shape[1], fft, hop, S.shape[2],
+                                       with_init=True, return_spec=True):
+                    n_pin = 0 if prev_spec is None else prev_spec[0].shape[1]
+                    return gl_pallas.griffin_lim_pallas(
+                        S, fft, hop, win, n_iters=iters, momentum=momentum,
+                        mats=mats, center=False, init_spec=(i_re, i_im),
+                        n_pinned=n_pin, return_spec=True)
+                from .dsp.audio import _log_gl_fallback_once
+                _log_gl_fallback_once(S.shape)
             return dsp.griffin_lim(S, fft, hop, win, n_iters=iters,
                                    momentum=momentum, mats=mats,
                                    center=False,
@@ -525,10 +531,26 @@ def tts_stream(params, cfg, ap, frontend_mod, texts, *, speaker_ids=None,
         "first_chunk too small for the converter lookahead: %d*%d <= %d"
         % (first_chunk, r, ctx_r))
 
-    if fd.vmem_bytes_estimate(params["decoder"], dcfg, B, x.shape[1]) \
+    # Graceful degradation: when the whole batch's fused-decode working
+    # set (weights + K/V + ring buffers) exceeds the VMEM budget, split the
+    # decode into per-launch sub-batches that fit instead of refusing to
+    # stream (decode rows are per-sample independent, so sub-batching is
+    # exact). Post-decode stages are batch-agnostic and stay whole-batch.
+    g = B
+    while g > 1 and fd.vmem_bytes_estimate(
+            params["decoder"], dcfg, g, x.shape[1]) > fd.VMEM_BUDGET_BYTES:
+        g = (g + 1) // 2
+    if fd.vmem_bytes_estimate(params["decoder"], dcfg, g, x.shape[1]) \
             > fd.VMEM_BUDGET_BYTES:
-        raise ValueError("batch too large for VMEM-resident streaming "
-                         "decode; reduce batch size")
+        raise ValueError(
+            "fused streaming decode cannot fit even a single sample in "
+            "this device's VMEM budget (folded weights + K/V alone exceed "
+            "it); use the non-streaming scan path (tts_batch fused=False)")
+    if g < B:
+        import sys
+        print("deepvoice3_pytorch_tpu: streaming decode batch %d exceeds "
+              "the VMEM budget; splitting into sub-batches of %d"
+              % (B, g), file=sys.stderr)
 
     # decode schedule: first_chunk, then fixed chunks (2 compiled programs)
     schedule = [min(first_chunk, max_decoder_steps)]
@@ -540,6 +562,37 @@ def tts_stream(params, cfg, ap, frontend_mod, texts, *, speaker_ids=None,
                                              spk, max_total=max_total)
     fpe_raw = arrays["w_query"] is not None
 
+    # per-launch groups (usually one covering the whole batch)
+    group_slices = [slice(i, min(i + g, B)) for i in range(0, B, g)]
+
+    def _slice_launch_arrays(sl):
+        kv = [None if p is None else (p[0][sl], p[1][sl])
+              for p in arrays["projected_kv"]]
+        mask = None if arrays["mask"] is None else arrays["mask"][sl]
+        wq = (None if arrays["w_query"] is None
+              else arrays["w_query"][sl])
+        sp = (None if arrays["speaker_bias"] is None
+              else [b[sl] for b in arrays["speaker_bias"]])
+        return kv, mask, wq, sp
+
+    group_arrays = [_slice_launch_arrays(sl) for sl in group_slices]
+    group_carry = [(prev[sl], la[sl], tuple(bf[sl] for bf in bufs))
+                   for sl in group_slices]
+
+    def _launch_chunk(t0, steps):
+        parts = []
+        for gi, (kv, mask_g, wq, sp) in enumerate(group_arrays):
+            pv, lg, bf = group_carry[gi]
+            out_g, group_carry[gi] = _chunk_prog(
+                params["decoder"], dcfg, kv, mask_g, wq, sp,
+                arrays["fpe_table"], t0, pv, lg, bf,
+                steps=steps, fpe_raw=fpe_raw, interpret=interpret)
+            parts.append(out_g)
+        if len(parts) == 1:
+            return parts[0]
+        return tuple(jnp.concatenate([p[i] for p in parts], axis=0)
+                     for i in range(4))
+
     emitter = StreamEmitter(params, cfg, ap, spk, gl_context=gl_context,
                             gl_lookahead=gl_lookahead, xfade=xfade)
 
@@ -550,11 +603,7 @@ def tts_stream(params, cfg, ap, frontend_mod, texts, *, speaker_ids=None,
     sample_start = 0
 
     for steps in schedule:
-        (o, a, d, s), (prev, la, bufs) = _chunk_prog(
-            params["decoder"], dcfg, arrays["projected_kv"], arrays["mask"],
-            arrays["w_query"], arrays["speaker_bias"], arrays["fpe_table"],
-            jnp.int32(dec_steps), prev, la, bufs,
-            steps=steps, fpe_raw=fpe_raw, interpret=interpret)
+        o, a, d, s = _launch_chunk(jnp.int32(dec_steps), steps)
 
         # postnet input frames for this chunk, (B, steps*r, D) — the same
         # reshape builder.model_decode applies to the full decode buffers

@@ -319,3 +319,67 @@ def test_streaming_vocoder_quality_vs_whole():
     sc_streamed = sc(streamed)
     assert sc_streamed < 0.15, sc_streamed            # absolute bar
     assert sc_streamed <= sc_whole * 1.05, (sc_streamed, sc_whole)
+
+
+def test_stream_vmem_subbatch_fallback(monkeypatch):
+    """Graceful degradation: when the fused decode's working set exceeds
+    the VMEM budget, tts_stream splits the decode into sub-batches instead
+    of refusing to stream — and the audio is identical to the unsplit run
+    (decode rows are per-sample independent)."""
+    from deepvoice3_pytorch_tpu.ops import fused_decode as fd
+
+    hp, cfg, params, ap = _tiny_setup()
+    kw = dict(max_decoder_steps=24, first_chunk=8, chunk=8, gl_context=8,
+              emit_linear=True)
+
+    whole = list(streaming.tts_stream(params, cfg, ap, en, TEXTS, **kw))
+
+    # budget between the 1-sample and full-batch working sets: forces
+    # sub-batches of one sample each
+    from deepvoice3_pytorch_tpu.synthesis import _prepare_batch
+    x, _, _ = _prepare_batch(en, TEXTS, 0.0, 8)
+    est1 = fd.vmem_bytes_estimate(params["decoder"], cfg.decoder, 1,
+                                  x.shape[1])
+    est_full = fd.vmem_bytes_estimate(params["decoder"], cfg.decoder,
+                                      len(TEXTS), x.shape[1])
+    assert est1 < est_full
+    monkeypatch.setattr(fd, "VMEM_BUDGET_BYTES", (est1 + est_full) // 2)
+    split = list(streaming.tts_stream(params, cfg, ap, en, TEXTS, **kw))
+
+    assert len(split) == len(whole)
+    np.testing.assert_array_equal(split[-1]["decoded_steps"],
+                                  whole[-1]["decoded_steps"])
+    # pre-vocoder: sub-batched decode + converter must match tightly
+    l_whole = np.concatenate([c["linear"] for c in whole], axis=1)
+    l_split = np.concatenate([c["linear"] for c in split], axis=1)
+    np.testing.assert_allclose(l_split, l_whole, rtol=2e-4, atol=2e-5)
+    # audio: Griffin-Lim amplifies batch-1-vs-batch-N matmul ulp
+    # differences over its iterations — close, not bitwise (same bar as
+    # the continuous-batching equivalence tests)
+    a_whole = np.concatenate([c["audio"] for c in whole], axis=1)
+    a_split = np.concatenate([c["audio"] for c in split], axis=1)
+    assert a_split.shape == a_whole.shape
+    scale = max(np.abs(a_whole).max(), 1e-6)
+    assert np.abs(a_split - a_whole).max() <= 0.05 * scale
+
+
+def test_gl_pallas_vmem_fallback(monkeypatch):
+    """When the Pallas GL window can't fit the device VMEM budget, the
+    vocoder silently takes the XLA-scan path — producing audio — instead
+    of failing with a Mosaic budget error."""
+    from deepvoice3_pytorch_tpu.dsp import gl_pallas
+
+    hp, _, _, _ = _tiny_setup()
+    rs = np.random.RandomState(0)
+    spec = rs.rand(2, 24, hp.fft_size // 2 + 1).astype(np.float32)
+
+    ref_ap = AudioProcessor(hp)
+    ref = np.asarray(ref_ap.inv_spectrogram_batch(spec))
+
+    # force the pallas branch on (interpret mode off-TPU) but make the
+    # budget tiny: fits_vmem must reject and fall back to the XLA scan
+    monkeypatch.setenv("DV3_PALLAS_GL", "1")
+    monkeypatch.setattr(gl_pallas, "_device_vmem_budget", lambda: 1024)
+    ap = AudioProcessor(hp)
+    out = np.asarray(ap.inv_spectrogram_batch(spec))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
