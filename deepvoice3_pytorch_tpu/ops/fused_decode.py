@@ -196,7 +196,7 @@ def _first_argmax(x):
 
 
 def _make_kernel(plan_pack, n_att, out_dim, state_dim, tk, fpe_raw,
-                 fpe_per_sample=False):
+                 fpe_per_sample=False, per_sample_scale=False):
     plan, buffers, last_idx, fc_idx, _, n_sp = plan_pack
     n_buf = len(buffers)
 
@@ -207,6 +207,12 @@ def _make_kernel(plan_pack, n_att, out_dim, state_dim, tk, fpe_raw,
         #       (continuous batching: each slot decodes at its own local
         #       position; requires fpe_raw)
         #   wq_ref (B, 1) — per-sample query position rate (fpe_raw mode)
+        #   scale_ref (B, 1) — per-sample attention context scale, when
+        #       per_sample_scale: the reference scales the context by
+        #       sqrt(memory length) (deepvoice3.py:169-171), which depends
+        #       on the PADDED text length — a serving batch whose text
+        #       dimension grows mid-stream must keep each slot's scale
+        #       frozen at its admission bucket
         #   mask_ref (B, Tk) additive mask (0 valid / MASK padded)
         #   init_ref (B, out_dim) initial input frame (carry-in)
         #   la_in_ref (B, max(n_att,1)) int32 last_attended carry-in
@@ -225,6 +231,8 @@ def _make_kernel(plan_pack, n_att, out_dim, state_dim, tk, fpe_raw,
         fpe_ref = refs[i]; i += 1
         wq_ref = refs[i] if fpe_raw else None
         i += 1 if fpe_raw else 0
+        scale_ref = refs[i] if per_sample_scale else None
+        i += 1 if per_sample_scale else 0
         mask_ref = refs[i]; i += 1
         init_ref = refs[i]; i += 1
         la_in_ref = refs[i]; i += 1
@@ -368,7 +376,10 @@ def _make_kernel(plan_pack, n_att, out_dim, state_dim, tk, fpe_raw,
                         jnp.int32, la_full.shape, 1)
                     la_ref[...] = jnp.where(lane == a_idx, new_la, la_full)
                 ctx = jnp.sum(attn[:, :, None] * values, axis=1)  # (B, E)
-                ctx = ctx * (tk * math.sqrt(1.0 / tk))
+                if per_sample_scale:
+                    ctx = ctx * scale_ref[...]        # (B, 1) broadcast
+                else:
+                    ctx = ctx * (tk * math.sqrt(1.0 / tk))
                 o = matmul(ctx, w_refs[widx + 2][...], w_refs[widx + 3][...])
                 x = (o + q) * SQRT_HALF
                 ave_align = ave_align + attn
@@ -419,7 +430,8 @@ class _Prepared:
     inside its while_loop body (XLA does not reliably hoist that)."""
 
     def __init__(self, params, cfg, projected_kv, mask, *, w_query,
-                 speaker_bias, fpe_raw, fpe_per_sample=False):
+                 speaker_bias, fpe_raw, fpe_per_sample=False,
+                 ctx_scale=None):
         self.plan_pack, flat = build_plan(params, cfg)
         _, self.buffers, _, _, self.n_att, n_sp = self.plan_pack
         kv = [p for p in projected_kv if p is not None]
@@ -441,11 +453,19 @@ class _Prepared:
         self.kv = [(k.astype(f32), v.astype(f32)) for k, v in kv]
         self.sp = [sb.astype(f32) for sb in (speaker_bias or [])]
         self.flat = [w.astype(f32) for w in flat]
-        assert not (fpe_per_sample and not fpe_raw), \
-            "per-sample position rows require the raw-angle mode"
+        # fpe_per_sample works in BOTH position modes: raw angles get the
+        # per-sample rate applied in-kernel (deepvoice3 family); finished
+        # encodings (nyanko) are gathered per sample and used directly —
+        # continuous batching admits either family mid-stream.
+        # ctx_scale (B,): per-sample attention context scale (admission-
+        # frozen sqrt(padded text length) for serving batches whose text
+        # dimension grows); None = the static sqrt(Tk) of this launch.
+        self.scale = (None if ctx_scale is None
+                      else jnp.asarray(ctx_scale, f32).reshape(self.B, 1))
         self.kernel = _make_kernel(self.plan_pack, self.n_att, self.out_dim,
                                    self.state_dim, self.tk, fpe_raw,
-                                   fpe_per_sample=fpe_per_sample)
+                                   fpe_per_sample=fpe_per_sample,
+                                   per_sample_scale=ctx_scale is not None)
 
     def zero_carry(self):
         f32 = jnp.float32
@@ -469,6 +489,8 @@ class _Prepared:
         inputs = [fpe_chunk.astype(f32)]
         if self.fpe_raw:
             inputs.append(self.wq)
+        if self.scale is not None:
+            inputs.append(self.scale)
         inputs += [self.addmask, prev.astype(f32), la]
         inputs += list(bufs)
         for k, v in self.kv:

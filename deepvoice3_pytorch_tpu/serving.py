@@ -16,16 +16,28 @@ What makes mid-stream admission exact:
     utterance's values into row `slot`;
   * the query-position encoding is per-slot via the kernel's
     fpe_per_sample mode (ops/fused_decode.py): each slot gathers the
-    raw-angle rows of its OWN local positions, so a slot admitted at
+    rows of its OWN local positions (raw angles for the deepvoice3
+    family, finished encodings for nyanko), so a slot admitted at
     global chunk 7 decodes exactly like a fresh stream at chunk 0
     (equality pinned by tests/test_serving.py).
 
-Downstream of the decoder each slot has its own StreamEmitter
-(streaming.py): windowed converter + phase-coherent windowed Griffin-Lim,
-batch-1 per slot because slots are at different emission phases.
+Downstream of the decoder the post-decode stages are GROUPED ACROSS
+SLOTS: every active slot advances by the same decode chunk, so slots at
+the same emission phase share identical converter-window and
+Griffin-Lim-window shapes. Each step() groups active slots by that
+static shape signature and runs ONE converter program and ONE vocoder
+program per group — in steady state all slots share one signature, so a
+step is 4 device programs total (decode kernel, history roll, converter,
+GL) regardless of slot count, instead of 2 + 2*n_slots batch-1 launches
+(the round-3 bottleneck: aggregate RTF 8.5x vs 73.6x for synchronized
+streams). Slot state lives in slot-batched device arrays; groups gather
+rows by index, compute batched, and scatter updates back.
 
-Restrictions: deepvoice3-family decoders (raw-angle position mode) with
-non-trainable positional encodings; all texts padded to one fixed length.
+Texts are admitted at BUCKETED lengths: the slot arrays' text dimension
+starts at `text_pad` tokens and grows (one recompile per new bucket) up
+to the model's max_positions — a 100-token sentence is a bucket growth,
+not an error (reference synthesizes any length up to max_positions,
+synthesis.py:42-73, hparams.py:62).
 
 The reference has no serving layer at all (its synthesis.py writes files
 after full synthesis, reference synthesis.py:42-73).
@@ -38,6 +50,7 @@ from functools import partial
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from .ops import core, fused_decode as fd
 from . import streaming
@@ -45,8 +58,9 @@ from . import streaming
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _admit_prog(params, cfg, x, pos, length, spk):
-    """Per-request launch-invariant state (batch 1): projected attention
-    K/V, padding mask, query position rate, speaker biases."""
+    """Per-request launch-invariant state (batch 1, family-generic):
+    projected attention K/V, padding mask, query position rate (raw-angle
+    families), speaker biases."""
     fam = cfg.family
     speaker_embed = None
     if spk is not None:
@@ -60,17 +74,22 @@ def _admit_prog(params, cfg, x, pos, length, spk):
     return fi["projected_kv"], mask, fi["w_query"], fi["speaker_bias"]
 
 
-@partial(jax.jit, static_argnames=("cfg", "steps", "interpret"))
+@partial(jax.jit, static_argnames=("cfg", "steps", "fpe_raw", "interpret"))
 def _slot_chunk_prog(params, cfg, projected_kv, mask, wq, speaker_bias,
-                     fpe_table, local_steps, prev, la, bufs, *, steps,
-                     interpret):
+                     ctx_scale, fpe_table, local_steps, prev, la, bufs, *,
+                     steps, fpe_raw, interpret):
     """One `steps`-frame launch over the slot batch, every slot at its own
-    local position: gather each slot's raw-angle rows from the table
+    local position: gather each slot's position rows from the table
     (clamped like the scan path's jnp.take) and run the kernel in
-    fpe_per_sample mode."""
+    fpe_per_sample mode. Raw angles (deepvoice3 family) get the per-slot
+    rate applied in-kernel; nyanko's table stores finished encodings and
+    the gathered rows are used directly. ctx_scale keeps each slot's
+    attention context scale frozen at its admission text bucket (the
+    reference scales by sqrt(padded memory length), so a text-dimension
+    growth must not change an active slot's decode)."""
     prep = fd._Prepared(params, cfg, projected_kv, mask, w_query=wq,
-                        speaker_bias=speaker_bias, fpe_raw=True,
-                        fpe_per_sample=True)
+                        speaker_bias=speaker_bias, fpe_raw=fpe_raw,
+                        fpe_per_sample=True, ctx_scale=ctx_scale)
     pos = local_steps[:, None] + jnp.arange(1, steps + 1,
                                             dtype=jnp.int32)[None, :]
     pos = jnp.clip(pos, 0, fpe_table.shape[0] - 1)
@@ -79,16 +98,22 @@ def _slot_chunk_prog(params, cfg, projected_kv, mask, wq, speaker_bias,
 
 
 class _Slot:
-    __slots__ = ("emitter", "out_q", "local_steps", "done_rows", "latched",
-                 "emitted")
+    __slots__ = ("out_q", "local_steps", "done_rows", "latched", "emitted",
+                 "n_total", "M", "e_m", "n_ctx", "n_pend")
 
-    def __init__(self, emitter, out_q):
-        self.emitter = emitter
+    def __init__(self, out_q):
         self.out_q = out_q
         self.local_steps = 0
         self.done_rows = []
         self.latched = False
         self.emitted = 0          # samples delivered so far
+        self.n_total = None       # decoded-length sample cap once latched
+        # post-decode emission phase (mirrors streaming.StreamEmitter +
+        # StreamingVocoder, but the state arrays are slot-batched)
+        self.M = 0                # postnet-input frames accumulated
+        self.e_m = 0              # postnet-input frames emitted
+        self.n_ctx = 0            # valid GL context frames (<= gl_context)
+        self.n_pend = 0           # lookahead lin frames held back
 
 
 class BacklogFull(RuntimeError):
@@ -98,13 +123,301 @@ class BacklogFull(RuntimeError):
     worthless to the listener AND still costs chip time."""
 
 
+class _EmitEngine:
+    """Slot-batched post-decode pipeline: converter windows + phase-
+    coherent windowed Griffin-Lim, grouped across slots.
+
+    Device state (S = n_slots):
+      hist     (S, H, D)   last H postnet-input frames per slot
+      lin_tail (S, GC, F)  emitted GL context frames, right-aligned
+      prev_re/prev_im (S, GC, F) retrieved spectrum of lin_tail
+      pend     (S, GLA, F) held-back lookahead frames, right-aligned
+    Host state: raw_tail (S, xfade) pre-IIR crossfade tails, zi (S, 1)
+    inverse-preemphasis IIR states.
+
+    The per-window math is IDENTICAL to streaming.StreamEmitter +
+    StreamingVocoder (same window compositions, same pinned-context
+    anchored-SPSI retrieval) — equality vs fresh tts_stream is pinned by
+    tests/test_serving.py. Only the batching differs: one gather ->
+    batched compute -> scatter program per shape-signature group."""
+
+    def __init__(self, params, cfg, ap, n_slots, chunk_frames, *,
+                 gl_context, gl_lookahead, xfade, multispeaker):
+        self.params, self.cfg, self.ap = params, cfg, ap
+        self.S = n_slots
+        self.cr = chunk_frames                      # postnet frames / step
+        self.up = getattr(cfg.converter, "time_upsampling", 1)
+        self.ctx_l, self.ctx_r = streaming.converter_context(cfg.converter)
+        self.GC = int(gl_context)
+        self.GLA = int(gl_lookahead)
+        self.hop = ap.hop_size
+        self.xfade = self.hop if xfade is None else int(xfade)
+        assert self.xfade <= self.GC * self.hop
+        self.D = cfg.converter.in_dim
+        self.F = ap.fft_size // 2 + 1
+        self.multispeaker = multispeaker
+        CB = streaming.CONV_BUCKET
+        self.H = -(-(self.cr + self.ctx_l + self.ctx_r) // CB) * CB
+        f32 = jnp.float32
+        S = n_slots
+        self.hist = jnp.zeros((S, self.H, self.D), f32)
+        self.lin_tail = jnp.zeros((S, self.GC, self.F), f32)
+        self.prev_re = jnp.zeros((S, self.GC, self.F), f32)
+        self.prev_im = jnp.zeros((S, self.GC, self.F), f32)
+        self.pend = jnp.zeros((S, max(self.GLA, 1), self.F), f32)
+        self.spk = jnp.zeros((S,), jnp.int32) if multispeaker else None
+        self.raw_tail = np.zeros((S, self.xfade), np.float32)
+        self.zi = np.zeros((S, 1), np.float32)
+        self.ramp = np.linspace(0.0, 1.0, self.xfade, endpoint=False,
+                                dtype=np.float32)
+        # jitted window vocoder shared with the streaming pipeline
+        # (same cache -> same programs as fresh streams)
+        if ap not in streaming._GL_FN_CACHE:
+            streaming._GL_FN_CACHE[ap] = \
+                streaming.StreamingVocoder._build_gl(ap)
+        self._voc = streaming._GL_FN_CACHE[ap]
+        self._progs = {}
+
+    # -- slot lifecycle ---------------------------------------------------
+
+    def reset_slot(self, b, speaker_id):
+        """Host-side resets at admission. Device rows need no reset: every
+        read is bounded by the slot's own (M, n_ctx, n_pend) counters, so
+        a previous occupant's rows are never touched."""
+        self.raw_tail[b] = 0.0
+        self.zi[b] = 0.0
+        if self.spk is not None:
+            self.spk = self.spk.at[b].set(int(speaker_id))
+
+    # -- programs (compiled once per static shape signature) ---------------
+
+    def _prog(self, key, builder):
+        fn = self._progs.get(key)
+        if fn is None:
+            fn = self._progs[key] = builder()
+        return fn
+
+    def roll_hist(self, pin):
+        """ONE program for the whole slot batch: append this step's
+        `pin` (S, n, D) postnet-input frames, keep the last H."""
+        n = pin.shape[1]
+
+        def build():
+            @jax.jit
+            def prog(hist, pin):
+                if n >= self.H:
+                    return pin[:, -self.H:]
+                return jnp.concatenate([hist[:, n:], pin], axis=1)
+            return prog
+
+        self.hist = self._prog(("roll", n), build)(self.hist, pin)
+
+    def conv_sig(self, slot):
+        """Static converter-window signature for this slot's pending
+        emission [e_m, emit_to): (window length, emit offsets) — the
+        exact formula of streaming.StreamEmitter._conv_emit."""
+        M, e_m = slot.M, slot.e_m
+        emit_to = M - self.ctx_r
+        CB = streaming.CONV_BUCKET
+        W = M - max(0, e_m - self.ctx_l)
+        Wb = min(M, -(-W // CB) * CB)
+        ws = M - Wb
+        return (Wb, e_m - ws, emit_to - ws)
+
+    def _conv_prog(self, sig):
+        Wb, o0, o1 = sig
+        up = self.up
+
+        def build():
+            from .builder import model_postnet
+
+            @partial(jax.jit, static_argnames=("cfg",))
+            def prog(params, cfg, hist, spk, idx):
+                window = hist[idx][:, self.H - Wb:]
+                sp = None if spk is None else spk[idx]
+                lin = model_postnet(params, cfg, window, speaker_ids=sp)
+                return lax.slice_in_dim(lin, o0 * up, o1 * up, axis=1)
+            return prog
+        return self._prog(("conv",) + sig, build)
+
+    def _absorb_prog(self, n_pend, n_new):
+        GLA = self.GLA
+
+        def build():
+            @jax.jit
+            def prog(pend, idx, lin_new):
+                if n_pend:
+                    frames = jnp.concatenate(
+                        [pend[idx][:, GLA - n_pend:], lin_new], axis=1)
+                else:
+                    frames = lin_new
+                pad = GLA - frames.shape[1]
+                if pad:
+                    z = jnp.zeros((frames.shape[0], pad, self.F),
+                                  jnp.float32)
+                    frames = jnp.concatenate([z, frames], axis=1)
+                return pend.at[idx].set(frames)
+            return prog
+        return self._prog(("absorb", n_pend, n_new), build)
+
+    def _gl_prog(self, sig):
+        """(n_ctx, n_pend, n_new, keep_lookahead) -> jitted program:
+        gather group rows, vocode ONE batched window, scatter updated
+        tails, return the raw (pre-crossfade, pre-IIR) samples."""
+        n_ctx, n_pend, n_new, keep_la = sig
+        GC, GLA, F = self.GC, self.GLA, self.F
+        hop, xfade = self.hop, self.xfade
+        voc = self._voc
+        frames_n = n_pend + n_new
+        emit_n = frames_n - (GLA if keep_la else 0)
+        assert emit_n > 0, sig
+        n_ctx2 = min(GC, n_ctx + emit_n)
+        pad = GC - n_ctx2
+
+        def build():
+            @jax.jit
+            def prog(lin_tail, prev_re, prev_im, pend, idx, lin_new,
+                     power, mats):
+                parts = []
+                if n_pend:
+                    parts.append(pend[idx][:, GLA - n_pend:])
+                if n_new:
+                    parts.append(lin_new)
+                frames = (parts[0] if len(parts) == 1
+                          else jnp.concatenate(parts, axis=1))
+                if keep_la and GLA:
+                    emit = frames[:, :emit_n]
+                    new_pend = frames[:, emit_n:]
+                else:
+                    emit, new_pend = frames, None
+                wparts, tail_g = [], None
+                if n_ctx:
+                    tail_g = lin_tail[idx][:, GC - n_ctx:]
+                    wparts.append(tail_g)
+                wparts.append(emit)
+                if new_pend is not None:
+                    wparts.append(new_pend)
+                window = (wparts[0] if len(wparts) == 1
+                          else jnp.concatenate(wparts, axis=1))
+                prev = None
+                if n_ctx:
+                    prev = (prev_re[idx][:, GC - n_ctx:],
+                            prev_im[idx][:, GC - n_ctx:])
+                wav_win, spec_out = voc(window, power, mats, prev)
+
+                G = emit.shape[0]
+
+                def right_align(a):
+                    if pad:
+                        z = jnp.zeros((G, pad, F), jnp.float32)
+                        return jnp.concatenate([z, a], axis=1)
+                    return a
+
+                tail_seq = (emit if tail_g is None
+                            else jnp.concatenate([tail_g, emit], axis=1))
+                tail_seq = tail_seq[:, -n_ctx2:]
+                lin_tail = lin_tail.at[idx].set(right_align(tail_seq))
+                lo_s = n_ctx + emit_n - n_ctx2
+                prev_re = prev_re.at[idx].set(right_align(
+                    spec_out[0][:, lo_s:n_ctx + emit_n]))
+                prev_im = prev_im.at[idx].set(right_align(
+                    spec_out[1][:, lo_s:n_ctx + emit_n]))
+                if GLA:
+                    if new_pend is not None:
+                        pend = pend.at[idx].set(new_pend)
+                    else:
+                        pend = pend.at[idx].set(
+                            jnp.zeros((G, GLA, F), jnp.float32))
+                lo, hi = n_ctx * hop, (n_ctx + emit_n) * hop
+                if n_ctx:               # a previous emission exists
+                    raw = wav_win[:, lo - xfade:hi]
+                else:
+                    raw = wav_win[:, :hi]
+                return raw, lin_tail, prev_re, prev_im, pend
+            return prog
+        return self._prog(("gl",) + sig, build)
+
+    # -- dispatch / completion ---------------------------------------------
+
+    def dispatch_conv(self, slots_by_sig):
+        """Per converter-signature group: ONE converter launch. Returns
+        {sig: (idx_np, lin_new_dev)} and updates slot (M, e_m) later via
+        complete paths."""
+        out = {}
+        for sig, idx in slots_by_sig.items():
+            prog = self._conv_prog(sig)
+            idx_np = np.asarray(idx, np.int32)
+            lin = prog(self.params, self.cfg, self.hist, self.spk,
+                       jnp.asarray(idx_np))
+            out[sig] = (idx_np, lin)
+        return out
+
+    def dispatch_gl(self, gl_sig, idx_np, lin_new):
+        """ONE vocoder launch for a group sharing `gl_sig`; chains the
+        slot-batched state arrays. Returns the device raw samples."""
+        n_ctx, n_pend, n_new, keep_la = gl_sig
+        frames_n = n_pend + n_new
+        if keep_la and frames_n <= self.GLA:       # absorb, no GL
+            self.pend = self._absorb_prog(n_pend, n_new)(
+                self.pend, jnp.asarray(idx_np), lin_new)
+            return None
+        raw, self.lin_tail, self.prev_re, self.prev_im, self.pend = \
+            self._gl_prog(gl_sig)(
+                self.lin_tail, self.prev_re, self.prev_im, self.pend,
+                jnp.asarray(idx_np), lin_new, self.ap.power, self.ap._dft)
+        return raw
+
+    def complete_group(self, idx_np, raw_dev, had_tail):
+        """Host half for one group: fetch, crossfade with the held tails,
+        inverse-preemphasis IIR with carried state. Returns (G, m) float32
+        ready-to-play samples (callers apply per-slot trims)."""
+        from scipy.signal import lfilter
+
+        raw = np.asarray(raw_dev)
+        if had_tail:
+            head, rest = raw[:, :self.xfade], raw[:, self.xfade:]
+            assert rest.shape[1] >= self.xfade, (rest.shape, self.xfade)
+            blend = (self.raw_tail[idx_np] * (1.0 - self.ramp)
+                     + head * self.ramp)
+            cut = rest.shape[1] - self.xfade
+            out = np.concatenate([blend, rest[:, :cut]], axis=1)
+            self.raw_tail[idx_np] = rest[:, cut:]
+        else:
+            assert raw.shape[1] >= self.xfade, (raw.shape, self.xfade)
+            cut = raw.shape[1] - self.xfade
+            out = raw[:, :cut]
+            self.raw_tail[idx_np] = raw[:, cut:]
+        coef = self.ap.preemphasis_coef
+        zi = self.zi[idx_np]
+        y, zi2 = lfilter([1.0], [1.0, -coef], out, axis=-1, zi=zi)
+        self.zi[idx_np] = zi2
+        return y.astype(np.float32)
+
+    def flush_tail(self, b):
+        """Emit slot b's held crossfade tail through the IIR (the final
+        samples of a retiring stream)."""
+        out = self.raw_tail[b:b + 1].copy()   # view! copy before the reset
+        self.raw_tail[b] = 0.0
+        from scipy.signal import lfilter
+
+        coef = self.ap.preemphasis_coef
+        y, zi2 = lfilter([1.0], [1.0, -coef], out, axis=-1,
+                         zi=self.zi[b:b + 1])
+        self.zi[b:b + 1] = zi2
+        return y.astype(np.float32)
+
+
 class ContinuousBatcher:
     """Fixed-slot continuous-batching streaming synthesizer.
 
     submit(text) returns a queue delivering ("audio", (m,) float32)
     items followed by ("end", decoded_steps). step() advances every
     active slot by one decode chunk and admits pending requests; run it
-    from a worker loop (serve.py --slots) or call it directly."""
+    from a worker loop (serve.py --slots) or call it directly.
+
+    Supports both model families (deepvoice3's raw-angle position mode
+    and nyanko's finished-encoding mode) and any text length up to the
+    model's max_positions (bucketed slot arrays that grow on demand)."""
 
     def __init__(self, params, cfg, ap, frontend_mod, *, n_slots=4,
                  text_pad=64, chunk=16, max_decoder_steps=200,
@@ -115,34 +428,48 @@ class ContinuousBatcher:
             interpret = jax.default_backend() != "tpu"
         self.params, self.cfg, self.ap = params, cfg, ap
         self.frontend = frontend_mod
-        self.n_slots, self.text_pad, self.chunk = n_slots, text_pad, chunk
+        self.n_slots = n_slots
+        # text_pad = starting text bucket AND growth granularity; the
+        # hard cap is the model's position table
+        self.text_bucket = max(8, int(text_pad))
+        self.text_cap = dcfg.max_positions - 1
         self.max_decoder_steps = max_decoder_steps
         # default cap: 8 waiting requests per slot — at that depth a new
         # request's first audio is already ~a full utterance away
         self.max_backlog = 8 * n_slots if max_backlog is None else max_backlog
         self.interpret = interpret
-        self.gl_kw = dict(gl_context=gl_context, gl_lookahead=gl_lookahead,
-                          xfade=xfade)
         self.r = dcfg.r
         self.min_steps = dcfg.min_decoder_steps
         _, ctx_r = streaming.converter_context(cfg.converter)
-        assert chunk * self.r > ctx_r, (
-            "chunk too small for the converter lookahead")
+        if chunk * self.r <= ctx_r:
+            # the converter lookahead must fit inside one chunk's frames;
+            # bump instead of failing (nyanko's non-causal highway stack
+            # has a deep receptive field at r=1)
+            chunk = ctx_r // self.r + 1
+        self.chunk = chunk
 
-        # raw-angle table: fpe_per_sample gathers each slot's local
-        # positions from it. The deepvoice3 family stores raw angles
-        # (fused_decode_inputs fpe_raw=True); nyanko stores finished
-        # encodings and is not supported here.
-        assert not hasattr(dcfg, "audio_encoder"), (
-            "continuous batching requires the raw-angle position mode "
-            "(deepvoice3 family)")
+        # position-row mode: the deepvoice3 family stores raw angles in
+        # its query-position table (per-slot rates applied in-kernel);
+        # nyanko stores finished encodings — both gather per-slot local
+        # positions (fused_decode fpe_per_sample)
+        self.fpe_raw = not hasattr(dcfg, "audio_encoder")
         self.fpe_table = params["decoder"]["embed_query_positions"]["w"]
+        self.multispeaker = "embed_speakers" in params
+
+        self.emit = _EmitEngine(params, cfg, ap, n_slots, chunk * self.r,
+                                gl_context=gl_context,
+                                gl_lookahead=gl_lookahead, xfade=xfade,
+                                multispeaker=self.multispeaker)
 
         self._lock = threading.Lock()
+        self._admission_lock = threading.Lock()
         self._waiting = queue.Queue()
         self._slots = [None] * n_slots
+        self._tk = 0                 # current text bucket (slot arrays)
         self._arrays = None          # slot-batched kv/mask/wq/sp
         self._carry = None           # (prev, la, bufs)
+        # per-slot attention context scale, frozen at admission
+        self._ctx_scale = jnp.ones((n_slots,), jnp.float32)
 
     # -- request side -------------------------------------------------------
 
@@ -152,30 +479,45 @@ class ContinuousBatcher:
         Queue items: ("audio", (m,) float32), then ("end", decoded_steps);
         ("error", exception) if the engine failed the request."""
         seq = np.asarray(self.frontend.text_to_sequence(text, p=p), np.int32)
-        if len(seq) > self.text_pad:
-            raise ValueError("text longer than text_pad=%d tokens"
-                             % self.text_pad)
+        if len(seq) > self.text_cap:
+            raise ValueError(
+                "text of %d tokens exceeds the model's max_positions-1=%d"
+                % (len(seq), self.text_cap))
         # speaker-ness must be uniform across the slot batch: the slot
         # arrays are allocated once, with or without speaker-bias rows
-        multispeaker = "embed_speakers" in self.params
-        if multispeaker and speaker_id is None:
+        if self.multispeaker and speaker_id is None:
             raise ValueError("multi-speaker model: speaker_id is required")
-        if not multispeaker and speaker_id is not None:
+        if not self.multispeaker and speaker_id is not None:
             raise ValueError("single-speaker model: speaker_id must be None")
-        if self._waiting.qsize() >= self.max_backlog:
-            raise BacklogFull(
-                "waiting queue at max_backlog=%d; shed this request"
-                % self.max_backlog)
         out_q = queue.Queue()
-        self._waiting.put((seq, speaker_id, out_q))
+        # admission is check+put under its own lock so concurrent submits
+        # from ThreadingHTTPServer threads cannot race past max_backlog
+        # (the engine lock is NOT used here: step() holds it for a whole
+        # decode chunk and submit must stay fast)
+        with self._admission_lock:
+            if self._waiting.qsize() >= self.max_backlog:
+                raise BacklogFull(
+                    "waiting queue at max_backlog=%d; shed this request"
+                    % self.max_backlog)
+            self._waiting.put((seq, speaker_id, out_q))
         return out_q
 
-    def pending(self):
+    def waiting(self):
+        """Waiting-queue depth (what max_backlog admission compares to)."""
+        return self._waiting.qsize()
+
+    def active_slots(self):
         with self._lock:
-            active = sum(s is not None for s in self._slots)
-        return active + self._waiting.qsize()
+            return sum(s is not None for s in self._slots)
+
+    def pending(self):
+        return self.active_slots() + self._waiting.qsize()
 
     # -- engine side ----------------------------------------------------
+
+    def _bucket(self, n):
+        b = self.text_bucket
+        return min(-(-max(n, 1) // b) * b, max(self.text_cap, b))
 
     def _init_slot_arrays(self, kv_row, mask_row, wq_row, sp_row):
         """Allocate the slot-batched arrays from the first admission's
@@ -188,20 +530,46 @@ class ContinuousBatcher:
                jnp.zeros((S,) + p[1].shape[1:], p[1].dtype))
               for p in kv_row]
         mask = jnp.ones((S,) + mask_row.shape[1:], mask_row.dtype)
-        wq = jnp.ones((S,), jnp.float32)
+        wq = jnp.ones((S,), jnp.float32) if wq_row is not None else None
         sp = None if sp_row is None else [
             jnp.zeros((S,) + b.shape[1:], b.dtype) for b in sp_row]
         self._arrays = [kv, mask, wq, sp]
         prep = fd._Prepared(self.params["decoder"], self.cfg.decoder,
                             kv, mask, w_query=wq, speaker_bias=sp,
-                            fpe_raw=True, fpe_per_sample=True)
+                            fpe_raw=self.fpe_raw, fpe_per_sample=True)
         la0, bufs0 = prep.zero_carry()
         prev0 = jnp.zeros((S, self.cfg.decoder.in_dim * self.r), jnp.float32)
         self._carry = (prev0, la0, bufs0)
 
+    def _grow_tk(self, tk_new):
+        """Grow the slot arrays' text dimension to a larger bucket: K/V
+        rows pad with zeros, the mask pads with True (padded) — the
+        attention softmax over the grown region is exactly 0, so active
+        slots decode identically after the growth. The decode program
+        recompiles once per bucket."""
+        if self._arrays is None:
+            self._tk = tk_new
+            return
+        kv, mask, wq, sp = self._arrays
+        grow = tk_new - mask.shape[1]
+        assert grow > 0
+
+        def pad1(a):
+            z = jnp.zeros(a.shape[:1] + (grow,) + a.shape[2:], a.dtype)
+            return jnp.concatenate([a, z], axis=1)
+
+        kv = [None if p is None else (pad1(p[0]), pad1(p[1])) for p in kv]
+        mask = jnp.concatenate(
+            [mask, jnp.ones(mask.shape[:1] + (grow,), mask.dtype)], axis=1)
+        self._arrays = [kv, mask, wq, sp]
+        self._tk = tk_new
+
     def _admit(self, slot, seq, speaker_id, out_q):
-        x = np.zeros((1, self.text_pad), np.int32)
-        pos = np.zeros((1, self.text_pad), np.int32)
+        tk_req = self._bucket(len(seq))
+        if tk_req > self._tk:
+            self._grow_tk(tk_req)
+        x = np.zeros((1, tk_req), np.int32)
+        pos = np.zeros((1, tk_req), np.int32)
         x[0, :len(seq)] = seq
         pos[0, :len(seq)] = np.arange(1, len(seq) + 1)
         length = np.array([len(seq)], np.int32)
@@ -211,14 +579,21 @@ class ContinuousBatcher:
             self.params, self.cfg, jnp.asarray(x), jnp.asarray(pos),
             jnp.asarray(length), spk)
         if self._arrays is None:
+            if self._tk > tk_req:       # pre-grown by an earlier submit
+                kv_row, mask_row = self._pad_rows(kv_row, mask_row,
+                                                  self._tk)
+            self._tk = max(self._tk, tk_req)
             self._init_slot_arrays(kv_row, mask_row, wq_row, sp_row)
+        elif self._tk > tk_req:
+            kv_row, mask_row = self._pad_rows(kv_row, mask_row, self._tk)
         kv, mask, wq, sp = self._arrays
         b = slot
         kv = [None if p is None else
               (p[0].at[b].set(pr[0][0]), p[1].at[b].set(pr[1][0]))
               for p, pr in zip(kv, kv_row)]
         mask = mask.at[b].set(mask_row[0])
-        wq = wq.at[b].set(wq_row[0])
+        if wq is not None:
+            wq = wq.at[b].set(wq_row[0])
         if sp is not None:
             sp = [a.at[b].set(r0[0]) for a, r0 in zip(sp, sp_row)]
         self._arrays = [kv, mask, wq, sp]
@@ -227,15 +602,156 @@ class ContinuousBatcher:
         la = la.at[b].set(0)
         bufs = tuple(a.at[b].set(0.0) for a in bufs)
         self._carry = (prev, la, bufs)
+        # same float expression as the kernel's static-Tk path so the
+        # per-slot scale is bit-identical to a fresh stream's
+        import math
+        self._ctx_scale = self._ctx_scale.at[b].set(
+            tk_req * math.sqrt(1.0 / tk_req))
 
-        emitter = streaming.StreamEmitter(self.params, self.cfg, self.ap,
-                                          spk, **self.gl_kw)
-        self._slots[slot] = _Slot(emitter, out_q)
+        self.emit.reset_slot(b, 0 if speaker_id is None else speaker_id)
+        self._slots[slot] = _Slot(out_q)
+
+    @staticmethod
+    def _pad_rows(kv_row, mask_row, tk):
+        """Right-pad a (batch-1) admission's K/V rows and mask to the slot
+        arrays' current text bucket (padded region is masked out)."""
+        grow = tk - mask_row.shape[1]
+
+        def pad1(a):
+            z = jnp.zeros(a.shape[:1] + (grow,) + a.shape[2:], a.dtype)
+            return jnp.concatenate([a, z], axis=1)
+
+        mask_row = jnp.concatenate(
+            [mask_row, jnp.ones(mask_row.shape[:1] + (grow,),
+                                mask_row.dtype)], axis=1)
+        return [None if p is None else (pad1(p[0]), pad1(p[1]))
+                for p in kv_row], mask_row
+
+    # -- the emission pipeline, grouped across slots ------------------------
+
+    def _gl_sig(self, slot, n_new, keep_la):
+        return (slot.n_ctx, slot.n_pend, n_new, keep_la)
+
+    def _apply_gl_result(self, slot, n_new, keep_la):
+        """Host bookkeeping mirroring StreamingVocoder.push/flush."""
+        frames = slot.n_pend + n_new
+        if keep_la and frames <= self.emit.GLA:
+            slot.n_pend = frames            # absorbed, nothing emitted
+            return 0
+        emit_n = frames - (self.emit.GLA if keep_la else 0)
+        slot.n_pend = self.emit.GLA if keep_la else 0
+        slot.n_ctx = min(self.emit.GC, slot.n_ctx + emit_n)
+        return emit_n
+
+    def _put_audio(self, slot, audio_row):
+        """Deliver one slot's samples, trimmed to the decoded length once
+        the done latch fixed it."""
+        if slot.n_total is not None:
+            keep = max(0, slot.n_total - slot.emitted)
+            audio_row = audio_row[:keep]
+        if audio_row.shape[0]:
+            slot.out_q.put(("audio", audio_row))
+            slot.emitted += audio_row.shape[0]
+
+    def _emit_step(self, active, pin):
+        """Normal per-step emission for all active slots: history roll,
+        grouped converter, grouped GL. Returns the groups' host audio
+        keyed by slot, dispatched before any done-flag fetch so the
+        device work overlaps the (B, chunk) host sync."""
+        self.emit.roll_hist(pin)
+        # group by converter signature (computed BEFORE updating M/e_m)
+        conv_groups = {}
+        for b in active:
+            slot = self._slots[b]
+            slot.M += self.chunk * self.r
+            sig = self.emit.conv_sig(slot)
+            conv_groups.setdefault(sig, []).append(b)
+        jobs = []
+        for sig, idx in conv_groups.items():
+            lin = self.emit._conv_prog(sig)(
+                self.params, self.cfg, self.emit.hist, self.emit.spk,
+                jnp.asarray(np.asarray(idx, np.int32)))
+            n_new = (sig[2] - sig[1]) * self.emit.up
+            # split the conv group by GL signature (slots can be at
+            # different vocoder phases even with equal converter windows)
+            gl_groups = {}
+            for i, b in enumerate(idx):
+                gsig = self._gl_sig(self._slots[b], n_new, True)
+                gl_groups.setdefault(gsig, []).append((i, b))
+            for gsig, pairs in gl_groups.items():
+                rows = np.asarray([i for i, _ in pairs], np.int32)
+                slots_np = np.asarray([b for _, b in pairs], np.int32)
+                lin_g = lin if len(pairs) == len(idx) \
+                    else jnp.take(lin, jnp.asarray(rows), axis=0)
+                had_tail = gsig[0] > 0
+                raw = self.emit.dispatch_gl(gsig, slots_np, lin_g)
+                jobs.append((slots_np, raw, had_tail, gsig, n_new))
+        return jobs
+
+    def _complete_jobs(self, jobs):
+        """Fetch each group's raw samples, crossfade + IIR on host, queue
+        per-slot audio, update per-slot emission phase."""
+        for slots_np, raw, had_tail, gsig, n_new in jobs:
+            if raw is None:                  # absorbed into lookahead
+                for b in slots_np:
+                    slot = self._slots[b]
+                    self._apply_gl_result(slot, n_new, True)
+                    slot.e_m = slot.M - self.emit.ctx_r
+                continue
+            audio = self.emit.complete_group(slots_np, raw, had_tail)
+            for i, b in enumerate(slots_np):
+                slot = self._slots[b]
+                self._apply_gl_result(slot, n_new, True)
+                slot.e_m = slot.M - self.emit.ctx_r
+                self._put_audio(slot, audio[i])
+
+    def _finish_slot(self, b, n_dec):
+        """Retire slot b: emit the held-back converter lookahead
+        [e_m, M), flush the vocoder lookahead and crossfade tail —
+        the exact StreamEmitter.finish / StreamingVocoder.flush sequence,
+        via the same grouped programs at G=1."""
+        slot = self._slots[b]
+        slot.n_total = streaming.decoded_samples(self.cfg, self.ap, n_dec)
+        idx1 = np.asarray([b], np.int32)
+        if slot.M > slot.e_m:
+            # final converter emission [e_m, M) — window per the same
+            # formula with emit_to = M
+            CB = streaming.CONV_BUCKET
+            W = slot.M - max(0, slot.e_m - self.emit.ctx_l)
+            Wb = min(slot.M, -(-W // CB) * CB)
+            ws = slot.M - Wb
+            sig = (Wb, slot.e_m - ws, slot.M - ws)
+            lin_last = self.emit._conv_prog(sig)(
+                self.params, self.cfg, self.emit.hist, self.emit.spk,
+                jnp.asarray(idx1))
+            n_new = (sig[2] - sig[1]) * self.emit.up
+            # vocoder push (keeps the lookahead back)...
+            gsig = self._gl_sig(slot, n_new, True)
+            raw = self.emit.dispatch_gl(gsig, idx1, lin_last)
+            if raw is not None:
+                audio = self.emit.complete_group(idx1, raw, gsig[0] > 0)
+                self._apply_gl_result(slot, n_new, True)
+                self._put_audio(slot, audio[0])
+            else:
+                self._apply_gl_result(slot, n_new, True)
+            slot.e_m = slot.M
+        # ...then flush it (vocode [ctx | pend], emit everything)
+        if slot.n_pend:
+            gsig = self._gl_sig(slot, 0, False)
+            raw = self.emit.dispatch_gl(gsig, idx1, None)
+            audio = self.emit.complete_group(idx1, raw, gsig[0] > 0)
+            self._apply_gl_result(slot, 0, False)
+            self._put_audio(slot, audio[0])
+        # the held crossfade tail is the stream's final samples
+        tail = self.emit.flush_tail(b)
+        self._put_audio(slot, tail[0])
+        slot.out_q.put(("end", n_dec))
+        self._slots[b] = None
 
     def step(self):
         """Admit pending requests, decode one chunk for every slot, emit
-        per-slot audio. Returns the number of active slots BEFORE
-        retirement (0 = nothing to do)."""
+        per-slot audio (grouped programs). Returns the number of active
+        slots BEFORE retirement (0 = nothing to do)."""
         with self._lock:
             for b in range(self.n_slots):
                 if self._slots[b] is None and not self._waiting.empty():
@@ -256,20 +772,21 @@ class ContinuousBatcher:
                 local[b] = self._slots[b].local_steps
             (o, a, d, s), self._carry = _slot_chunk_prog(
                 self.params["decoder"], self.cfg.decoder, kv, mask, wq, sp,
-                self.fpe_table, jnp.asarray(local), prev, la, bufs,
-                steps=self.chunk, interpret=self.interpret)
+                self._ctx_scale, self.fpe_table, jnp.asarray(local),
+                prev, la, bufs, steps=self.chunk, fpe_raw=self.fpe_raw,
+                interpret=self.interpret)
 
-            # dispatch every active slot's emission before the done fetch
-            tokens = {}
-            for b in active:
-                slot = self._slots[b]
-                if self.cfg.use_decoder_state_for_postnet_input:
-                    pin = s[b:b + 1].reshape(1, self.chunk * self.r, -1)
-                else:
-                    pin = o[b:b + 1].reshape(1, self.chunk * self.r, -1)
-                tokens[b] = slot.emitter.feed_async(pin)
+            # grouped emission, dispatched before the done fetch so the
+            # (S, chunk) host sync overlaps the converter + GL device time
+            S = self.n_slots
+            if self.cfg.use_decoder_state_for_postnet_input:
+                pin = s.reshape(S, self.chunk * self.r, -1)
+            else:
+                pin = o.reshape(S, self.chunk * self.r, -1)
+            jobs = self._emit_step(active, pin)
 
             d_host = np.asarray(d)                     # (S, chunk) sync
+            retires = []
             for b in active:
                 slot = self._slots[b]
                 gstep = slot.local_steps + np.arange(1, self.chunk + 1)
@@ -277,11 +794,7 @@ class ContinuousBatcher:
                 slot.done_rows.append(row)
                 slot.latched |= bool(row.any())
                 slot.local_steps += self.chunk
-
-                retire = (slot.latched
-                          or slot.local_steps >= self.max_decoder_steps)
-                n_total = None
-                if retire:
+                if slot.latched or slot.local_steps >= self.max_decoder_steps:
                     done_all = np.concatenate(slot.done_rows)
                     n_dec = (int(done_all.argmax()) + 1 if slot.latched
                              else slot.local_steps)
@@ -290,24 +803,13 @@ class ContinuousBatcher:
                     # the reported length and every sample streamed from
                     # here are trimmed to the capped decoded length
                     n_dec = min(n_dec, self.max_decoder_steps)
-                    n_total = streaming.decoded_samples(self.cfg, self.ap,
-                                                        n_dec)
+                    slot.n_total = streaming.decoded_samples(
+                        self.cfg, self.ap, n_dec)
+                    retires.append((b, n_dec))
 
-                def put(audio_1xm):
-                    if n_total is not None:
-                        keep = max(0, n_total - slot.emitted)
-                        audio_1xm = audio_1xm[:, :keep]
-                    if audio_1xm.shape[1]:
-                        slot.out_q.put(("audio", audio_1xm[0]))
-                        slot.emitted += audio_1xm.shape[1]
-
-                audio, _ = slot.emitter.feed_finish(tokens[b])
-                put(audio)
-                if retire:
-                    tail, _ = slot.emitter.finish()
-                    put(tail)
-                    slot.out_q.put(("end", n_dec))
-                    self._slots[b] = None
+            self._complete_jobs(jobs)
+            for b, n_dec in retires:
+                self._finish_slot(b, n_dec)
             return len(active)
 
     def _fail_all(self, exc):

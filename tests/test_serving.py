@@ -322,14 +322,99 @@ def test_serve_http_backlog_returns_503():
         server.shutdown()
 
 
-def test_text_too_long_rejected():
+def test_text_beyond_max_positions_rejected():
+    """Bucketed admission accepts any length the model can attend to;
+    the model's position table is the only hard cap (reference
+    hparams.py:62 max_positions)."""
     cfg, params, ap = _setup()
     batcher = serving.ContinuousBatcher(params, cfg, ap, en, n_slots=1,
                                         text_pad=8, chunk=8,
                                         max_decoder_steps=16)
     try:
-        batcher.submit("a sentence that is quite clearly longer than "
-                       "eight tokens when encoded.")
+        batcher.submit("word " * (cfg.decoder.max_positions + 8))
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_nyanko_admission_matches_fresh_stream():
+    """The nyanko family (finished-encoding position mode, fpe_raw=False)
+    through continuous batching: a slot admitted mid-stream must match a
+    fresh nyanko stream — the per-slot position gather reads the encoding
+    table rows directly."""
+    hp = default_hparams()
+    hp.parse("builder=nyanko,text_embed_dim=64,encoder_channels=32,"
+             "decoder_channels=32,converter_channels=32,outputs_per_step=1,"
+             "downsample_step=4,max_decoder_steps=48")
+    cfg, params = build_model(hp, en.n_vocab)
+    ap = AudioProcessor(hp)
+    CHUNK, MAX, PAD, CTX = 16, 48, 40, 8
+    batcher = serving.ContinuousBatcher(
+        params, cfg, ap, en, n_slots=2, text_pad=PAD, chunk=CHUNK,
+        max_decoder_steps=MAX, gl_context=CTX)
+    # nyanko's deep highway receptive field can bump the chunk; the fresh
+    # stream must use the SAME chunk for identical boundaries
+    CHUNK = batcher.chunk
+
+    qa = batcher.submit(TEXT_A)
+    assert batcher.step() == 1          # A alone, chunk 1
+    qb = batcher.submit(TEXT_B)         # admitted mid-stream
+    n = 0
+    while batcher.step():
+        n += 1
+        assert n < 50
+    audio_b, dec_b = _drain(qb)
+    _drain(qa)
+
+    ref_b, ref_dec_b = _fresh_stream(params, cfg, ap, TEXT_B, chunk=CHUNK,
+                                     max_steps=MAX, pad_to=PAD,
+                                     gl_context=CTX)
+    assert dec_b == ref_dec_b
+    assert len(audio_b) == len(ref_b)
+    scale = max(np.abs(ref_b).max(), 1e-6)
+    assert np.abs(audio_b - ref_b).max() <= 0.05 * scale
+
+
+def test_long_text_grows_bucket_and_matches():
+    """Texts longer than text_pad are admitted via bucket growth (one
+    recompile), not rejected — and an ACTIVE slot's stream is unaffected
+    by a concurrent growth (the grown K/V region is masked out). Only a
+    text beyond the model's max_positions is rejected."""
+    import pytest
+
+    cfg, params, ap = _setup()
+    CHUNK, MAX, PAD, CTX = 8, 24, 16, 8
+    long_text = ("this sentence is quite clearly longer than sixteen "
+                 "tokens when encoded by the english frontend, "
+                 "forcing a slot array growth.")
+    assert len(en.text_to_sequence(long_text)) > PAD
+    batcher = serving.ContinuousBatcher(
+        params, cfg, ap, en, n_slots=2, text_pad=PAD, chunk=CHUNK,
+        max_decoder_steps=MAX, gl_context=CTX)
+
+    qa = batcher.submit(TEXT_A)          # short: starting bucket
+    assert batcher.step() == 1
+    qb = batcher.submit(long_text)       # grows the text bucket mid-serve
+    n = 0
+    while batcher.step():
+        n += 1
+        assert n < 50
+    audio_a, dec_a = _drain(qa)
+    audio_b, dec_b = _drain(qb)
+
+    ref_a, ref_dec_a = _fresh_stream(params, cfg, ap, TEXT_A, chunk=CHUNK,
+                                     max_steps=MAX, pad_to=PAD,
+                                     gl_context=CTX)
+    ref_b, ref_dec_b = _fresh_stream(params, cfg, ap, long_text,
+                                     chunk=CHUNK, max_steps=MAX,
+                                     pad_to=PAD, gl_context=CTX)
+    assert dec_a == ref_dec_a and dec_b == ref_dec_b
+    assert len(audio_a) == len(ref_a) and len(audio_b) == len(ref_b)
+    for got, ref in ((audio_a, ref_a), (audio_b, ref_b)):
+        scale = max(np.abs(ref).max(), 1e-6)
+        assert np.abs(got - ref).max() <= 0.05 * scale, \
+            np.abs(got - ref).max() / scale
+
+    # the hard cap that remains: the model's position table
+    with pytest.raises(ValueError):
+        batcher.submit("word " * (cfg.decoder.max_positions + 8))
