@@ -131,6 +131,19 @@ def conv_transpose1d_init(rng, in_channels, out_channels, kernel_size, dropout=0
 _DN = ("NWC", "WIO", "NWC")  # batch-time-channel activations, (kw,in,out) kernels
 
 
+# How kw>1 convs lower: "tapsum" (default) = kw shifted (B*T,C)x(C,Cout)
+# matmuls summed — plain MXU GEMMs, no convolution HLO. "xla" =
+# lax.conv_general_dilated (XLA's TPU conv emitter). "im2col" = one
+# (B*T, kw*C)x(kw*C, Cout) matmul over a gathered window. All three are
+# numerically equivalent modulo tap summation order. Measured on v5e at
+# b64-bf16 train shapes (tools/conv_gemm_probe.py, round-4 structural
+# probe): tapsum 19.26 ms/step vs xla 20.43 vs im2col 21.29 — the
+# seq2seq half (the 44%-MFU drag) runs 10.7 -> 9.12 ms (+8-10 MFU
+# points): XLA's conv emitter was the bottleneck, not the VPU work.
+# Full table in DESIGN.md §4.1.
+CONV1D_MODE = "tapsum"
+
+
 def conv1d_apply(p, x, *, dilation=1, padding="same", causal=False,
                  precision=None):
     """1D convolution on (B, T, C) input, output length == input length.
@@ -152,6 +165,23 @@ def conv1d_apply(p, x, *, dilation=1, padding="same", causal=False,
         pad = ((kw - 1) // 2 * dilation,) * 2
     else:
         pad = padding
+    if CONV1D_MODE != "xla":
+        T = x.shape[1]
+        xp = jnp.pad(x, ((0, 0), pad, (0, 0)))
+        taps = [lax.slice_in_dim(xp, j * dilation, j * dilation + T, axis=1)
+                for j in range(kw)]
+        if CONV1D_MODE == "im2col":
+            col = jnp.concatenate(taps, axis=-1)       # (B, T, kw*C)
+            w2 = w.reshape(kw * w.shape[1], w.shape[2])
+            return jnp.dot(col, w2, precision=precision,
+                           preferred_element_type=x.dtype) + p["b"]
+        assert CONV1D_MODE == "tapsum", CONV1D_MODE
+        y = jnp.dot(taps[0], w[0], precision=precision,
+                    preferred_element_type=x.dtype)
+        for j in range(1, kw):
+            y = y + jnp.dot(taps[j], w[j], precision=precision,
+                            preferred_element_type=x.dtype)
+        return y + p["b"]
     out = lax.conv_general_dilated(
         x, w,
         window_strides=(1,),
