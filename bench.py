@@ -11,11 +11,21 @@ and (b) the jitted train step (forward + all losses + backward + clip +
 Adam) at the LJSpeech preset, batch 16 and 32, reporting steps/s,
 linear-frames/s, and an MFU estimate from XLA's own cost analysis.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
-The headline value is synthesis RTF; vs_baseline is RTF / 20 (the
-reference publishes no numbers; 20x real-time is the north-star bar, so
->1.0 beats the target). Training metrics live under "extras". Set
-DV3_BENCH_TRAIN=0 to skip the training section.
+Output contract (machine-parseable by design — round-3 BENCH artifact had
+"parsed": null because the single stdout line was too large for the
+driver's tail capture):
+  * stdout: exactly ONE compact JSON line (< 1 KB) — the headline metric
+    plus a flat summary of the key extras. Everything else (progress,
+    library chatter) goes to stderr.
+  * disk:   BENCH.json at the repo root with the FULL nested results.
+
+The headline value is the trained-checkpoint early-exit synthesis RTF —
+the number a user with a real checkpoint gets (done latch fires, decode +
+vocoder cost scale with decoded lengths). The fixed-length 150-step
+number is reported as extras.fixed_len_rtf (the kernel-ceiling row).
+vs_baseline is RTF / 20 (the reference publishes no numbers; 20x
+real-time is the north-star bar, so >1.0 beats the target). Set
+DV3_BENCH_TRAIN=0 / DV3_BENCH_TRAINED=0 etc. to skip sections.
 """
 
 import json
@@ -70,9 +80,43 @@ _LJ_PARSE = ("builder=deepvoice3,text_embed_dim=256,encoder_channels=512,"
              "key_position_rate=1.385")
 
 
+def _flat_summary(headline, extras):
+    """Compact single-level summary for the stdout line: the numbers a
+    reader needs, each reachable in BENCH.json for full context."""
+    s = {"detail": "BENCH.json"}
+
+    def put(key, *path):
+        node = extras
+        for p in path:
+            if not isinstance(node, dict) or p not in node:
+                return
+            node = node[p]
+        s[key] = node
+
+    put("fixed_len_rtf", "fixed_len", "rtf")
+    put("nyanko_rtf", "nyanko", "rtf")
+    put("vctk_rtf", "vctk_multispeaker", "rtf")
+    put("train_steps_per_s_b16_f32", "training", "batch_16_float32",
+        "steps_per_s")
+    put("train_steps_per_s_b64_bf16", "training", "batch_64_bfloat16",
+        "steps_per_s")
+    put("mfu_b64_bf16", "training", "batch_64_bfloat16", "mfu_vs_bf16_peak")
+    put("ttfa_ms", "trained_early_exit", "streaming", "ttfa_ms")
+    put("stream8_rtf", "trained_early_exit", "streaming", "concurrent_8",
+        "rtf")
+    put("cb_aggregate_rtf", "trained_early_exit", "streaming",
+        "continuous_batching", "aggregate_rtf")
+    put("cb_multispeaker_rtf", "cb_multispeaker", "aggregate_rtf")
+    return s
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    # stdout carries exactly one JSON line; reroute everything else
+    stdout = sys.stdout
+    sys.stdout = sys.stderr
 
     # persistent compilation cache: the axon PJRT supports executable
     # serialization, so repeat bench runs skip the (remote) TPU compile
@@ -166,10 +210,13 @@ def main():
     rtf = audio_seconds / wall
 
     extras = {
-        "ms_per_batch_device": round(wall * 1000.0, 2),
-        "rtf_incl_full_host_fetch_via_dev_tunnel":
-            round(audio_seconds / wall_fetch, 2),
-        "host_fetch_bytes": int(wav_host.nbytes),
+        "fixed_len": {
+            "rtf": round(rtf, 2),
+            "ms_per_batch_device": round(wall * 1000.0, 2),
+            "rtf_incl_full_host_fetch_via_dev_tunnel":
+                round(audio_seconds / wall_fetch, 2),
+            "host_fetch_bytes": int(wav_host.nbytes),
+        },
     }
     if os.environ.get("DV3_BENCH_NYANKO", "1") != "0":
         extras["nyanko"] = bench_nyanko(B, T_DEC)
@@ -177,17 +224,44 @@ def main():
         extras["vctk_multispeaker"] = bench_vctk_multispeaker(B, T_DEC)
     if os.environ.get("DV3_BENCH_TRAIN", "1") != "0":
         extras["training"] = bench_training(hp, en.n_vocab)
+    trained = None
     if os.environ.get("DV3_BENCH_TRAINED", "1") != "0":
-        extras["trained_early_exit"] = bench_trained_early_exit(
+        trained = bench_trained_early_exit(
             ckpt_path=os.environ.get("DV3_BENCH_CKPT"))
+        extras["trained_early_exit"] = trained
+    if os.environ.get("DV3_BENCH_CB_MS", "1") != "0":
+        extras["cb_multispeaker"] = bench_cb_multispeaker()
 
-    print(json.dumps({
-        "metric": "batched_synthesis_rtf_b32_incl_griffinlim",
-        "value": round(rtf, 2),
-        "unit": "x_realtime",
-        "vs_baseline": round(rtf / 20.0, 3),
-        "extras": extras,
-    }))
+    # Headline: the trained-checkpoint early-exit number (what a user with
+    # a real checkpoint measures). Fixed-length 150-step decode is the
+    # labeled kernel-ceiling row (extras.fixed_len).
+    if trained is not None:
+        headline = {
+            "metric": "trained_ckpt_early_exit_synthesis_rtf_b32"
+                      "_incl_griffinlim",
+            "value": trained["rtf"],
+        }
+    else:
+        headline = {
+            "metric": "batched_synthesis_rtf_b32_incl_griffinlim_fixed150",
+            "value": round(rtf, 2),
+        }
+    result = dict(headline, unit="x_realtime",
+                  vs_baseline=round(headline["value"] / 20.0, 3),
+                  extras=extras)
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo, "BENCH.json"), "w") as f:
+        json.dump(result, f, indent=1)
+        f.write("\n")
+
+    compact = dict(headline, unit="x_realtime",
+                   vs_baseline=result["vs_baseline"],
+                   extras=_flat_summary(headline, extras))
+    line = json.dumps(compact, separators=(",", ":"))
+    sys.stdout = stdout
+    sys.stderr.flush()
+    print(line, flush=True)
     return 0
 
 
@@ -411,48 +485,57 @@ def bench_streaming(params, cfg, hp, ap, n_timed=5):
     return out
 
 
-def bench_continuous_batching(params, cfg, hp, ap):
-    """serve.py --slots capability row: four requests arrive STAGGERED
+def bench_continuous_batching(params, cfg, hp, ap, n_req=8, n_slots=8,
+                              speaker_ids=None):
+    """serve.py --slots capability row: n_req requests arrive STAGGERED
     (50 ms apart) and share one slot batch, each joining mid-stream at a
     chunk boundary (serving.ContinuousBatcher). Reports per-request TTFA
-    and the aggregate streamed RTF. Numbers on this dev harness are
-    bounded by the per-chunk tunnel sync; correctness (admitted ==
-    fresh stream) is pinned by tests/test_serving.py."""
+    and the aggregate streamed RTF — directly comparable to the
+    synchronized-streams row at the same batch width (round-3 verdict
+    asked for the gap to close; the round-4 engine runs ONE converter
+    program and ONE GL program per step across all slots instead of one
+    of each per slot). Correctness (admitted == fresh stream) is pinned
+    by tests/test_serving.py."""
     import threading
 
-    from deepvoice3_pytorch_tpu import streaming
     from deepvoice3_pytorch_tpu.frontend import en
     from deepvoice3_pytorch_tpu.serving import ContinuousBatcher
 
-    b = ContinuousBatcher(params, cfg, ap, en, n_slots=4, text_pad=64,
+    b = ContinuousBatcher(params, cfg, ap, en, n_slots=n_slots, text_pad=64,
                           chunk=16, max_decoder_steps=200)
     stop = threading.Event()
     worker = threading.Thread(target=b.run_loop, args=(stop,), daemon=True)
     worker.start()
 
-    def req(text):
+    def req(text, spk=None):
         t0 = time.perf_counter()
-        q = b.submit(text)
+        q = b.submit(text, speaker_id=spk)
         first = None
         n = 0
         while True:
             kind, payload = q.get(timeout=600)
             if kind == "end":
                 return first, time.perf_counter() - t0, n
+            if kind == "error":
+                raise payload
             if first is None:
                 first = time.perf_counter() - t0
             n += len(payload)
 
-    req(SENTENCES[0])                    # warmup: compiles all programs
+    def spk_of(i):
+        return None if speaker_ids is None \
+            else speaker_ids[i % len(speaker_ids)]
+
+    req(SENTENCES[0], spk_of(0))         # warmup: compiles all programs
     results = {}
 
     def worker_req(i):
         time.sleep(0.05 * i)
-        results[i] = req(SENTENCES[i])
+        results[i] = req(SENTENCES[i], spk_of(i))
 
     t0 = time.perf_counter()
     threads = [threading.Thread(target=worker_req, args=(i,))
-               for i in range(4)]
+               for i in range(n_req)]
     for t in threads:
         t.start()
     for t in threads:
@@ -461,14 +544,38 @@ def bench_continuous_batching(params, cfg, hp, ap):
     stop.set()
     audio_s = sum(r[2] for r in results.values()) / hp.sample_rate
     return {
-        "n_requests": 4,
+        "n_requests": n_req,
+        "n_slots": n_slots,
         "arrival_stagger_ms": 50,
         "ttfa_ms_per_request": [round(results[i][0] * 1e3, 1)
-                                for i in range(4)],
+                                for i in range(n_req)],
         "wall_ms": round(wall * 1e3, 1),
         "audio_seconds": round(audio_s, 2),
         "aggregate_rtf": round(audio_s / wall, 2),
     }
+
+
+def bench_cb_multispeaker():
+    """Mixed-speaker continuous batching (VCTK preset, random weights —
+    a throughput row: the done latch never fires, every request decodes
+    to max steps): per-slot speaker biases + position rates scatter under
+    load, requests cycling through 8 different speaker ids."""
+    from deepvoice3_pytorch_tpu.dsp.audio import AudioProcessor
+    from deepvoice3_pytorch_tpu.frontend import en
+    from deepvoice3_pytorch_tpu.hparams import default_hparams
+    from deepvoice3_pytorch_tpu.model_builder import build_model
+
+    hp = default_hparams()
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "presets", "deepvoice3_vctk.json")) as f:
+        hp.parse_json(f.read())
+    cfg, params = build_model(hp, en.n_vocab)
+    ap = AudioProcessor(hp)
+    out = bench_continuous_batching(
+        params, cfg, hp, ap, n_req=8, n_slots=8,
+        speaker_ids=list(range(0, 64, 8)))
+    out["n_speakers"] = int(hp.n_speakers)
+    return out
 
 
 def bench_vctk_multispeaker(B, T_DEC, n_timed=5):

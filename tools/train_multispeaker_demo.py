@@ -14,6 +14,10 @@ computable for novel text too).
 Artifacts (--outdir, default docs/quality_run_multispeaker):
   - loss_curve.json
   - speaker_specs.png      one row per speaker id: predicted | target
+  - speaker{N}.wav         the demo sentence synthesized AS speaker N
+                           (predicted linear -> Griffin-Lim), plus
+                           speaker{N}_target.wav — the deterministic
+                           language's exact rendering for that speaker
   - metrics.json           per-speaker mel L1 vs own target AND vs
                            speaker 0's target (conditioning is learned
                            iff own << cross)
@@ -148,6 +152,19 @@ def main():
         cross_l1.append(round(cross, 4))
         n_lin = int(lens[s]) * cfg.r * time_up
         rows.append((linear[s][:n_lin], tgt[s][0][:n_lin]))
+
+    # per-speaker audio: predicted spectrum vocoded on-device, next to the
+    # deterministic language's exact rendering of the same sentence
+    for s in range(N_SPEAKERS):
+        n_lin = int(lens[s]) * cfg.r * time_up
+        wav = np.asarray(ap.inv_spectrogram_batch(
+            jnp.asarray(linear[s:s + 1, :n_lin])))[0]
+        ap.save_wav(wav, os.path.join(args.outdir, "speaker%d.wav" % s))
+        ap.save_wav(sc.synth_wav(DEMO_TEXT, hp.sample_rate, hp.hop_size,
+                                 speaker_id=s),
+                    os.path.join(args.outdir, "speaker%d_target.wav" % s))
+    with open(os.path.join(args.outdir, "demo_text.txt"), "w") as f:
+        f.write(DEMO_TEXT + "\n")
 
     import matplotlib
     matplotlib.use("Agg")
