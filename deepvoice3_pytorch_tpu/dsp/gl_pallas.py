@@ -71,22 +71,35 @@ def _device_vmem_budget():
 
 
 def vmem_bytes_estimate(n, fft_size, hop, n_bins, with_init=False,
-                        return_spec=False):
-    """Per-item resident-VMEM footprint of the whole-retrieval kernel:
-    magnitude + bf16 scratch spectra + DFT matrices + OLA buffer + matmul
-    temporaries (~13 MB at n=600, F=513 — matches the header's number)."""
+                        return_spec=False, block_items=1):
+    """Resident-VMEM footprint of one grid step of the whole-retrieval
+    kernel: magnitude + bf16 scratch spectra + DFT matrices + OLA buffer +
+    matmul temporaries (~13 MB at n=600, F=513, G=1 — matches the
+    header's number). With block_items=G the per-item terms scale by G
+    while the DFT matrices stay shared."""
+    G = block_items
     k = fft_size // hop
+    n = -(-n // 16) * 16 if G > 1 else n    # the G>1 path pads frames
     nb = n + k - 1
+    if G > 1:
+        nb = -(-nb // 16) * 16
     nF = n * n_bins
-    total = 4 * nF          # magnitude block (f32)
-    total += 8 * nF         # 4 bf16 scratch spectra
+    # per-item terms, calibrated against the compiler's own scoped-vmem
+    # accounting (it reported 110.11 MB for G=8, n=608, F=513 — 13.76
+    # MB/item + 4.5 MB shared; this formula gives 13.76):
+    per = 4 * nF            # magnitude block (f32)
+    per += 8 * nF           # 4 bf16 scratch spectra
+    per += 8 * nF           # analysis accumulators tre/tim (f32)
+    per += 8 * nF           # momentum/projection f32 temporaries
+    per += 4 * nF           # accounting slop (measured residual)
+    per += 4 * n * fft_size  # synth frames temporary (f32)
+    per += 8 * nb * hop     # f32 OLA buffer + output block
     if with_init:
-        total += 8 * nF     # explicit (re, im) init blocks (f32)
+        per += 8 * nF       # explicit (re, im) init blocks (f32)
     if return_spec:
-        total += 8 * nF     # retrieved-spectrum output blocks (f32)
-    total += 8 * fft_size * n_bins   # 4 bf16 DFT matrices
-    total += 4 * nb * hop            # f32 OLA buffer
-    total += 16 * nF                 # matmul operand/accumulator slop
+        per += 8 * nF       # retrieved-spectrum output blocks (f32)
+    total = per * G
+    total += 8 * fft_size * n_bins   # 4 bf16 DFT matrices (shared)
     return total
 
 
@@ -97,6 +110,20 @@ def fits_vmem(n, fft_size, hop, n_bins, **kw):
     runs anywhere)."""
     return vmem_bytes_estimate(n, fft_size, hop, n_bins, **kw) \
         <= _device_vmem_budget()
+
+
+def auto_block_items(B, n, fft_size, hop, n_bins, **kw):
+    """Largest divisor of B whose G-item grid step fits the VMEM budget.
+    Grid steps are SEQUENTIAL on a TPU core, so batching G items per step
+    amortizes the per-item fixed work (in-kernel SPSI, final synthesis,
+    per-step pipeline overhead) and fattens every DFT GEMM from n rows to
+    G*n — the measured win grows as n shrinks (see DESIGN.md §4.1 and
+    tools/gl_blockitems_probe.py)."""
+    for g in range(min(B, 32), 1, -1):
+        if B % g == 0 and fits_vmem(n, fft_size, hop, n_bins,
+                                    block_items=g, **kw):
+            return g
+    return 1
 
 
 def _ola_norm(n_frames, fft_size, hop, window):
@@ -112,9 +139,18 @@ def _ola_norm(n_frames, fft_size, hop, window):
 
 
 def _make_kernel(n, fft, hop, n_bins, n_iters, momentum, phase_init,
-                 fold_windows, n_pinned=0, return_spec=False):
+                 fold_windows, n_pinned=0, return_spec=False, G=1):
+    """G = items per grid step. The caller collapses (B, n, F) blocks to
+    (B/G, G*n, F): the DFT matmuls run on all G*n rows at once (per-frame
+    independent), while OLA, re-framing and the SPSI cumsum — the only
+    per-item structure — run as static G-loops. For G>1 the caller pads
+    n to a multiple of 16 so per-item slices stay tile-aligned; nb is
+    likewise padded so per-item OLA buffers concatenate cleanly."""
     k = fft // hop
     nb = n + k - 1
+    if G > 1:
+        assert n % 16 == 0, n
+        nb = -(-nb // 16) * 16
     eps2 = 1e-30
     F = n_bins
     bf16 = jnp.bfloat16
@@ -136,23 +172,24 @@ def _make_kernel(n, fft, hop, n_bins, n_iters, momentum, phase_init,
             sre_ref, sim_ref = next(it), next(it)
         cre_ref, cim_ref, tpre_ref, tpim_ref = (next(it) for _ in range(4))
 
-        S = s_ref[0]                                  # (n, F) f32
+        N = G * n
+        S = s_ref[0]                                  # (N, F) f32
         win = win_ref[...]                            # (k, hop) f32
         inorm = inorm_ref[...]                        # (nb, hop) f32
 
         if n_pinned:
-            # streaming boundary condition: the first n_pinned frames are
-            # already-played audio — hold them at their init values
-            # through every iteration (same rule as the XLA path's
+            # streaming boundary condition: the first n_pinned frames of
+            # EACH item are already-played audio — hold them at their init
+            # values through every iteration (same rule as the XLA path's
             # pinned_prefix; the init's prefix IS the previous window's
             # retrieved spectrum)
-            rowix = jax.lax.broadcasted_iota(jnp.int32, (n, F), 0)
-            pinmask = rowix < n_pinned
+            rowix = jax.lax.broadcasted_iota(jnp.int32, (N, F), 0)
+            pinmask = rowix % n < n_pinned
 
         if with_init:
             # explicit (re, im) start (phase-coherent streaming windows):
             # re-impose S on the given phases, exactly like the XLA path
-            i_re, i_im = ire_ref[0], iim_ref[0]       # (n, F) f32
+            i_re, i_im = ire_ref[0], iim_ref[0]       # (N, F) f32
             scale0 = S * jax.lax.rsqrt(i_re * i_re + i_im * i_im + eps2)
             pin_re = (i_re * scale0).astype(bf16)
             pin_im = (i_im * scale0).astype(bf16)
@@ -162,7 +199,7 @@ def _make_kernel(n, fft, hop, n_bins, n_iters, momentum, phase_init,
             # In-kernel SPSI (mirrors stft.py:spsi_phase): per-bin
             # instantaneous frequency by parabolic interpolation of the
             # magnitude triplet, integrated hop*omega per frame.
-            col = jax.lax.broadcasted_iota(jnp.int32, (n, F), 1)
+            col = jax.lax.broadcasted_iota(jnp.int32, (N, F), 1)
             # lane-axis neighbor shifts via circular roll + edge
             # replicate fix-up (no lane concat in Mosaic)
             left = jnp.where(col == 0, S, pltpu.roll(S, shift=1, axis=1))
@@ -181,40 +218,59 @@ def _make_kernel(n, fft, hop, n_bins, n_iters, momentum, phase_init,
             row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
             colr = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
             tri = (row >= colr).astype(jnp.float32)  # inclusive cumsum
-            phi = jnp.dot(tri, omega, preferred_element_type=jnp.float32)
+            # the cumsum is per item: one (n,n)x(n,F) dot per grid item
+            # (phase must not integrate across item boundaries)
+            phis = [jnp.dot(tri, omega[g * n:(g + 1) * n],
+                            preferred_element_type=jnp.float32)
+                    for g in range(G)]
+            phi = phis[0] if G == 1 else jnp.concatenate(phis, axis=0)
             cre_ref[...] = (S * jnp.cos(phi)).astype(bf16)
             cim_ref[...] = (S * jnp.sin(phi)).astype(bf16)
         else:  # zero phase (classic)
             cre_ref[...] = S.astype(bf16)
-            cim_ref[...] = jnp.zeros((n, F), bf16)
-        tpre_ref[...] = jnp.zeros((n, F), bf16)
-        tpim_ref[...] = jnp.zeros((n, F), bf16)
+            cim_ref[...] = jnp.zeros((N, F), bf16)
+        tpre_ref[...] = jnp.zeros((N, F), bf16)
+        tpim_ref[...] = jnp.zeros((N, F), bf16)
 
         def synth(re_b, im_b):
-            """bf16 spectrum -> normalized OLA signal y (nb, hop) f32.
-            Static slices/pads only (no dynamic_slice on values)."""
+            """bf16 spectrum (N, F) -> normalized per-item OLA signals,
+            concatenated (G*nb, hop) f32. Static slices/pads only (no
+            dynamic_slice on values); the frame->time DFT runs as ONE
+            (N, F)x(F, fft) GEMM across all G items."""
             frames = (jnp.dot(re_b, m2_ref[...],
                               preferred_element_type=jnp.float32)
                       + jnp.dot(im_b, m3_ref[...],
                                 preferred_element_type=jnp.float32))
-            y = jnp.zeros((nb, hop), jnp.float32)
-            for c in range(k):
-                chunk = frames[:, c * hop:(c + 1) * hop]
-                if not fold_windows:
-                    chunk = chunk * win[c][None, :]
-                y = y + jnp.pad(chunk, ((c, nb - n - c), (0, 0)))
-            return y * inorm
+            ys = []
+            for g in range(G):
+                fr = frames if G == 1 else frames[g * n:(g + 1) * n]
+                y = jnp.zeros((nb, hop), jnp.float32)
+                for c in range(k):
+                    chunk = fr[:, c * hop:(c + 1) * hop]
+                    if not fold_windows:
+                        chunk = chunk * win[c][None, :]
+                    y = y + jnp.pad(chunk, ((c, nb - n - c), (0, 0)))
+                ys.append(y * inorm)
+            return ys[0] if G == 1 else jnp.concatenate(ys, axis=0)
 
         def body(i, _):
             y = synth(cre_ref[...], cim_ref[...])
-            # re-analysis: frame f = rows f..f+k-1 of y
-            tre = jnp.zeros((n, F), jnp.float32)
-            tim = jnp.zeros((n, F), jnp.float32)
+            # re-analysis: item g's frame f = rows f..f+k-1 of its OLA
+            # signal y[g*nb:(g+1)*nb]; the time->frame DFT runs as ONE
+            # (N, hop)x(hop, F) GEMM per chunk across all G items
+            tre = jnp.zeros((N, F), jnp.float32)
+            tim = jnp.zeros((N, F), jnp.float32)
             for c in range(k):
-                if fold_windows:
-                    chunk = y[c:c + n, :].astype(bf16)
+                if G == 1:
+                    chunk = y[c:c + n, :]
                 else:
-                    chunk = (y[c:c + n, :] * win[c][None, :]).astype(bf16)
+                    chunk = jnp.concatenate(
+                        [y[g * nb + c:g * nb + c + n, :] for g in range(G)],
+                        axis=0)
+                if fold_windows:
+                    chunk = chunk.astype(bf16)
+                else:
+                    chunk = (chunk * win[c][None, :]).astype(bf16)
                 tre = tre + jnp.dot(
                     chunk, m0_ref[c * hop:(c + 1) * hop, :],
                     preferred_element_type=jnp.float32)
@@ -245,11 +301,15 @@ def _make_kernel(n, fft, hop, n_bins, n_iters, momentum, phase_init,
     return kernel, nb
 
 
+def _round16(v):
+    return -(-v // 16) * 16
+
+
 def griffin_lim_pallas(magnitude, fft_size, hop, window, *, n_iters=60,
                        momentum=0.99, length=None, mats=None,
                        interpret=None, center=True, phase_init="zero",
                        fold_windows=True, init_spec=None, n_pinned=0,
-                       return_spec=False):
+                       return_spec=False, block_items=None):
     """Drop-in for dsp.griffin_lim on TPU (bf16 carry semantics).
 
     magnitude: (B, n, F) or (n, F) -> (B, T) / (T,).
@@ -270,6 +330,18 @@ def griffin_lim_pallas(magnitude, fft_size, hop, window, *, n_iters=60,
         XLA loop, where folding saved 5.7% of HBM traffic, the kernel's
         operands already live in VMEM, so the multiplies it removes were
         nearly free. Kept on (fewer ops, identical quality bars).
+    block_items: items per (sequential) grid step (default 1; "auto" =
+        largest divisor of B whose working set fits VMEM). Measured
+        NEGATIVE on v5e (tools/gl_blockitems_probe.py, DESIGN.md §4.1):
+        end-to-end neutral at every production shape (0.89-1.08x) —
+        grid items already pipeline back-to-back and the per-item GEMMs
+        fill the MXU at n>=112; at tiny windows the in-kernel win
+        (1.90->1.53 ms per 224 iterations at n=24, G=8) is buried under
+        per-call dispatch. Kept as an opt-in because the logic is exact
+        (per-item OLA/framing/SPSI loops, same op order; agreement to
+        GEMM ulp-level — backend matmul blocking differs by row count)
+        and the win could matter on hosts where dispatch is cheap and
+        windows are tiny.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -282,6 +354,7 @@ def griffin_lim_pallas(magnitude, fft_size, hop, window, *, n_iters=60,
             init_spec = tuple(a[None] for a in init_spec)
     assert magnitude.ndim == 3, "pallas GL expects (B, n, F) input"
     B, n, F = magnitude.shape
+    n_orig = n
     k = fft_size // hop
     assert fft_size % hop == 0
     if init_spec is not None:
@@ -289,12 +362,38 @@ def griffin_lim_pallas(magnitude, fft_size, hop, window, *, n_iters=60,
         assert init_spec[0].shape == magnitude.shape, \
             (init_spec[0].shape, magnitude.shape)
 
+    if block_items in (None, 1):
+        G = 1
+    elif block_items == "auto":
+        G = auto_block_items(B, n, fft_size, hop, F,
+                             with_init=init_spec is not None,
+                             return_spec=return_spec)
+    else:
+        G = int(block_items)
+        assert B % G == 0, (B, G)
+    if G > 1 and n % 16:
+        # pad per-item frames to the tile boundary with zero-magnitude
+        # rows: zero magnitude => the projection holds their spectrum at
+        # exactly 0 every iteration, so they synthesize nothing and the
+        # normalizer (built for the ORIGINAL n) keeps real rows exact
+        pad_n = _round16(n) - n
+        magnitude = jnp.pad(magnitude, ((0, 0), (0, pad_n), (0, 0)))
+        if init_spec is not None:
+            init_spec = tuple(
+                jnp.pad(a, ((0, 0), (0, pad_n), (0, 0))) for a in init_spec)
+        n += pad_n
+
     kernel, nb = _make_kernel(n, fft_size, hop, F, n_iters, momentum,
                               phase_init, fold_windows,
-                              n_pinned=n_pinned, return_spec=return_spec)
+                              n_pinned=n_pinned, return_spec=return_spec,
+                              G=G)
     win_np = np.asarray(window, np.float32)
     win2d = jnp.asarray(win_np.reshape(k, hop))
-    inorm = jnp.asarray(_ola_norm(n, fft_size, hop, win_np))
+    inorm_np = _ola_norm(n_orig, fft_size, hop, win_np)
+    if nb > inorm_np.shape[0]:      # padded rows synthesize nothing
+        inorm_np = np.pad(inorm_np,
+                          ((0, nb - inorm_np.shape[0]), (0, 0)))
+    inorm = jnp.asarray(inorm_np)
     bf16 = jnp.bfloat16
     if fold_windows:
         wcol = jnp.asarray(win_np)
@@ -313,35 +412,40 @@ def griffin_lim_pallas(magnitude, fft_size, hop, window, *, n_iters=60,
         return pl.BlockSpec(memory_space=pltpu.VMEM)
 
     def item_block():
-        return pl.BlockSpec((1, n, F), lambda b: (b, 0, 0),
+        return pl.BlockSpec((1, G * n, F), lambda b: (b, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    inputs = [magnitude.astype(jnp.float32)]
+    def collapse(a):
+        # (B, n, F) -> (B/G, G*n, F): G items per grid step, contiguous
+        return a.reshape(B // G, G * n, F) if G > 1 else a
+
+    inputs = [collapse(magnitude.astype(jnp.float32))]
     in_specs = [item_block()]
     if init_spec is not None:
-        inputs += [a.astype(jnp.float32) for a in init_spec]
+        inputs += [collapse(a.astype(jnp.float32)) for a in init_spec]
         in_specs += [item_block(), item_block()]
     inputs += [*mats_b, win2d, inorm]
     in_specs += [full()] * 6
 
-    out_specs = [pl.BlockSpec((1, nb, hop), lambda b: (b, 0, 0),
+    out_specs = [pl.BlockSpec((1, G * nb, hop), lambda b: (b, 0, 0),
                               memory_space=pltpu.VMEM)]
-    out_shape = [jax.ShapeDtypeStruct((B, nb, hop), jnp.float32)]
+    out_shape = [jax.ShapeDtypeStruct((B // G, G * nb, hop), jnp.float32)]
     if return_spec:
         out_specs += [item_block(), item_block()]
-        out_shape += [jax.ShapeDtypeStruct((B, n, F), jnp.float32)] * 2
+        out_shape += [jax.ShapeDtypeStruct((B // G, G * n, F),
+                                           jnp.float32)] * 2
 
     outs = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B // G,),
         in_specs=in_specs,
         out_specs=out_specs if return_spec else out_specs[0],
         out_shape=out_shape if return_spec else out_shape[0],
         scratch_shapes=[
-            pltpu.VMEM((n, F), bf16),   # c_re
-            pltpu.VMEM((n, F), bf16),   # c_im
-            pltpu.VMEM((n, F), bf16),   # t_prev re
-            pltpu.VMEM((n, F), bf16),   # t_prev im
+            pltpu.VMEM((G * n, F), bf16),   # c_re
+            pltpu.VMEM((G * n, F), bf16),   # c_im
+            pltpu.VMEM((G * n, F), bf16),   # t_prev re
+            pltpu.VMEM((G * n, F), bf16),   # t_prev im
         ],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
@@ -353,11 +457,13 @@ def griffin_lim_pallas(magnitude, fft_size, hop, window, *, n_iters=60,
     wav = out.reshape(B, nb * hop)
     if center:
         wav = wav[:, fft_size // 2:]
-    T = length if length is not None else hop * n
+    T = length if length is not None else hop * n_orig
     wav = wav[:, :T]
     if squeeze:
         wav = wav[0]
     if return_spec:
-        spec = (outs[1][0], outs[2][0]) if squeeze else (outs[1], outs[2])
+        sre = outs[1].reshape(B, n, F)[:, :n_orig]
+        sim = outs[2].reshape(B, n, F)[:, :n_orig]
+        spec = (sre[0], sim[0]) if squeeze else (sre, sim)
         return wav, spec
     return wav
