@@ -418,3 +418,55 @@ def test_long_text_grows_bucket_and_matches():
     # the hard cap that remains: the model's position table
     with pytest.raises(ValueError):
         batcher.submit("word " * (cfg.decoder.max_positions + 8))
+
+
+def test_steady_state_grouped_program_launches():
+    """The round-4 engine contract: slots at the same emission phase share
+    ONE converter launch and ONE vocoder launch per step() — post-decode
+    device programs must NOT scale with the number of active slots (the
+    round-3 bottleneck was 2 batch-1 launches per slot per step)."""
+    cfg, params, ap = _setup()
+    CHUNK, MAX, PAD, CTX = 8, 24, 40, 8
+    batcher = serving.ContinuousBatcher(
+        params, cfg, ap, en, n_slots=4, text_pad=PAD, chunk=CHUNK,
+        max_decoder_steps=MAX, gl_context=CTX)
+
+    counts = {"conv": 0, "gl": 0}
+    orig_conv, orig_gl = batcher.emit._conv_prog, batcher.emit.dispatch_gl
+
+    def conv_counting(sig):
+        fn = orig_conv(sig)
+
+        def wrapped(*a, **kw):
+            counts["conv"] += 1
+            return fn(*a, **kw)
+        return wrapped
+
+    def gl_counting(*a, **kw):
+        counts["gl"] += 1
+        return orig_gl(*a, **kw)
+
+    batcher.emit._conv_prog = conv_counting
+    batcher.emit.dispatch_gl = gl_counting
+
+    # four slots admitted together: identical emission phase throughout
+    queues = [batcher.submit(t) for t in
+              (TEXT_A, TEXT_B, TEXT_C, "a fourth one to fill the batch.")]
+    steps = 0
+    while batcher.active_slots() == 4 or steps == 0:
+        before = dict(counts)
+        n = batcher.step()
+        steps += 1
+        assert steps < 50
+        if n == 4 and batcher.active_slots() == 4:
+            # pure steady-state step (no retirement flushes): exactly one
+            # grouped converter launch and at most one vocoder launch
+            assert counts["conv"] - before["conv"] == 1, counts
+            assert counts["gl"] - before["gl"] <= 1, counts
+    while batcher.step():
+        steps += 1
+        assert steps < 80
+    assert steps >= 2            # the loop actually exercised steady state
+    for q in queues:             # and every stream completed cleanly
+        audio, n_dec = _drain(q)
+        assert audio.shape[0] > 0 and n_dec > 0
