@@ -53,6 +53,35 @@ def test_conv1d_parity(kw, dilation, causal):
                                atol=ATOL)
 
 
+@pytest.mark.parametrize("kw,dilation,causal", [
+    (3, 1, False), (5, 3, False), (3, 9, True), (5, 27, True),
+])
+def test_conv1d_lowering_modes_equivalent(kw, dilation, causal):
+    """The three kw>1 conv lowerings (ops/core.py CONV1D_MODE) are the
+    same convolution: tapsum (the measured-fastest TPU default — see
+    DESIGN.md §4.1) and im2col must match XLA's conv HLO to f32
+    tap-summation reassociation (~1e-6)."""
+    from deepvoice3_pytorch_tpu.ops import core as core_mod
+
+    rs = np.random.RandomState(4)
+    p = {"g": jnp.asarray(rs.randn(32).astype(np.float32)),
+         "v": jnp.asarray(rs.randn(kw, 16, 32).astype(np.float32)),
+         "b": jnp.asarray(rs.randn(32).astype(np.float32) * 0.1)}
+    x = jnp.asarray(rs.randn(2, 40, 16).astype(np.float32))
+
+    outs = {}
+    orig = core_mod.CONV1D_MODE
+    try:
+        for mode in ("xla", "tapsum", "im2col"):
+            core_mod.CONV1D_MODE = mode
+            outs[mode] = np.asarray(core_mod.conv1d_apply(
+                p, x, dilation=dilation, causal=causal))
+    finally:
+        core_mod.CONV1D_MODE = orig
+    np.testing.assert_allclose(outs["tapsum"], outs["xla"], atol=2e-5)
+    np.testing.assert_allclose(outs["im2col"], outs["xla"], atol=2e-5)
+
+
 def test_conv_transpose1d_parity():
     torch.manual_seed(0)
     m = ref_modules.ConvTranspose1d(16, 16, kernel_size=2, stride=2, padding=0,

@@ -110,6 +110,9 @@ def main():
     pa.add_argument("--corpus-size", type=int, default=120)
     pa.add_argument("--ckpt-out", default="",
                     help="optionally save the final checkpoint here")
+    pa.add_argument("--preset", default="",
+                    help="preset JSON (e.g. presets/nyanko_ljspeech.json); "
+                         "default: the bench's LJSpeech deepvoice3 config")
     args = pa.parse_args()
     os.makedirs(args.outdir, exist_ok=True)
 
@@ -133,7 +136,11 @@ def main():
     from deepvoice3_pytorch_tpu.utils import synthcorpus as sc
 
     hp = default_hparams()
-    hp.parse(_LJ_PARSE)
+    if args.preset:
+        with open(args.preset) as f:
+            hp.parse_json(f.read())
+    else:
+        hp.parse(_LJ_PARSE)
 
     # ---- corpus + the timestamp-ratio calibration the reference does with
     # compute_timestamp_ratio.py (reference compute_timestamp_ratio.py:38-54)
