@@ -21,6 +21,7 @@ The axes above are the transposed equivalents for our layouts.
 """
 
 import math
+import os
 from functools import partial
 
 import jax
@@ -131,17 +132,46 @@ def conv_transpose1d_init(rng, in_channels, out_channels, kernel_size, dropout=0
 _DN = ("NWC", "WIO", "NWC")  # batch-time-channel activations, (kw,in,out) kernels
 
 
-# How kw>1 convs lower: "tapsum" (default) = kw shifted (B*T,C)x(C,Cout)
-# matmuls summed — plain MXU GEMMs, no convolution HLO. "xla" =
+# How kw>1 convs lower: "tapsum" = kw shifted (B*T,C)x(C,Cout) matmuls
+# summed — plain MXU GEMMs, no convolution HLO. "xla" =
 # lax.conv_general_dilated (XLA's TPU conv emitter). "im2col" = one
 # (B*T, kw*C)x(kw*C, Cout) matmul over a gathered window. All three are
-# numerically equivalent modulo tap summation order. Measured on v5e at
-# b64-bf16 train shapes (tools/conv_gemm_probe.py, round-4 structural
-# probe): tapsum 19.26 ms/step vs xla 20.43 vs im2col 21.29 — the
-# seq2seq half (the 44%-MFU drag) runs 10.7 -> 9.12 ms (+8-10 MFU
-# points): XLA's conv emitter was the bottleneck, not the VPU work.
-# Full table in DESIGN.md §4.1.
-CONV1D_MODE = "tapsum"
+# numerically equivalent modulo tap summation order.
+#
+# The winner is CONTEXT-dependent (both measured on v5e, round 4):
+#  * train step b64-bf16 (tools/conv_gemm_probe.py): tapsum 19.26 ms
+#    vs xla 20.43 vs im2col 21.29 — XLA's conv emitter drags the
+#    backward pass; the seq2seq half runs 10.7 -> 9.12 ms (+8-10 MFU).
+#  * full-sequence inference b32 T600 f32 (fixed-length synthesis):
+#    xla 9.16 ms vs tapsum 11.91 — forward-only, XLA's fused conv
+#    emitter wins and tapsum's kw separate GEMM launches lose.
+# So: the default lowering is "xla", and the training step re-traces
+# its body under conv_lowering("tapsum") (trainer.py). Full table in
+# DESIGN.md §4.1. DV3_CONV1D_MODE / DV3_CONV1D_MODE_TRAIN override.
+CONV1D_MODE = os.environ.get("DV3_CONV1D_MODE", "xla")
+CONV1D_MODE_TRAIN = os.environ.get(
+    "DV3_CONV1D_MODE_TRAIN", os.environ.get("DV3_CONV1D_MODE", "tapsum"))
+
+
+class conv_lowering:
+    """Trace-time selector for the conv1d lowering mode.
+
+    Use INSIDE a function being jitted (the body runs at trace time, so
+    retraces re-enter the context): trainer.py wraps its loss/grad in
+    `with conv_lowering(CONV1D_MODE_TRAIN):`. Runtime cost: zero — the
+    choice is baked into the traced HLO."""
+
+    def __init__(self, mode):
+        self.mode = mode
+
+    def __enter__(self):
+        global CONV1D_MODE
+        self._saved = CONV1D_MODE
+        CONV1D_MODE = self.mode
+
+    def __exit__(self, *exc):
+        global CONV1D_MODE
+        CONV1D_MODE = self._saved
 
 
 def conv1d_apply(p, x, *, dilation=1, padding="same", causal=False,

@@ -30,8 +30,20 @@ program per group — in steady state all slots share one signature, so a
 step is 4 device programs total (decode kernel, history roll, converter,
 GL) regardless of slot count, instead of 2 + 2*n_slots batch-1 launches
 (the round-3 bottleneck: aggregate RTF 8.5x vs 73.6x for synchronized
-streams). Slot state lives in slot-batched device arrays; groups gather
-rows by index, compute batched, and scatter updates back.
+streams).
+
+Every grouped program runs at the FULL slot-batch width S and restricts
+its state updates with a runtime (S,) membership mask — group
+membership is DATA, never a shape. The first design gathered each
+group's rows (shapes specialized on group size), which compiled a fresh
+program for every (signature, group-size) pair the staggered arrivals
+produced — measured as a compile storm: 8 staggered requests saw
+~16 s TTFA each while the chip sat idle waiting on remote compiles
+(BENCH extras history, round 4). With mask-static programs a slot
+admitted at any phase replays the same signature SEQUENCE the warmup
+request already compiled, so admission never waits on a compile. The
+wasted compute on non-member rows is the steady state anyway (all slots
+active, one signature).
 
 Texts are admitted at BUCKETED lengths: the slot arrays' text dimension
 starts at `text_pad` tokens and grows (one recompile per new bucket) up
@@ -54,6 +66,36 @@ from jax import lax
 
 from .ops import core, fused_decode as fd
 from . import streaming
+
+
+@jax.jit
+def _admit_scatter(arrays, carry, ctx_scale, spk, b, kv_row, mask_row,
+                   wq_row, sp_row, scale_val, spk_val):
+    """ONE program for every per-slot admission write: scatter the new
+    utterance's K/V, mask, rates and biases into row `b` of the slot
+    arrays and zero the slot's decode carry. The slot index is DATA (a
+    traced scalar), not a Python constant — eager `.at[b].set` calls
+    specialized a separate program per slot index, which made every
+    first admission into a fresh slot stall ~0.4 s on remote compiles
+    (measured: 8 staggered requests all got first audio at the same
+    +3 s mark while slots 1-7 compiled their scatter sets)."""
+    kv, mask, wq, sp = arrays
+    kv = [None if p is None else
+          (p[0].at[b].set(pr[0][0]), p[1].at[b].set(pr[1][0]))
+          for p, pr in zip(kv, kv_row)]
+    mask = mask.at[b].set(mask_row[0])
+    if wq is not None:
+        wq = wq.at[b].set(wq_row[0])
+    if sp is not None:
+        sp = [a.at[b].set(r0[0]) for a, r0 in zip(sp, sp_row)]
+    prev, la, bufs = carry
+    prev = prev.at[b].set(jnp.zeros_like(prev[0]))
+    la = la.at[b].set(jnp.zeros_like(la[0]))
+    bufs = tuple(a.at[b].set(jnp.zeros_like(a[0])) for a in bufs)
+    ctx_scale = ctx_scale.at[b].set(scale_val)
+    if spk is not None:
+        spk = spk.at[b].set(spk_val)
+    return [kv, mask, wq, sp], (prev, la, bufs), ctx_scale, spk
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -138,8 +180,11 @@ class _EmitEngine:
     The per-window math is IDENTICAL to streaming.StreamEmitter +
     StreamingVocoder (same window compositions, same pinned-context
     anchored-SPSI retrieval) — equality vs fresh tts_stream is pinned by
-    tests/test_serving.py. Only the batching differs: one gather ->
-    batched compute -> scatter program per shape-signature group."""
+    tests/test_serving.py. Only the batching differs: each program
+    computes ALL S slot rows and merges results into the state arrays
+    under a (S,) membership mask, so program identity depends only on
+    the window signature (see the module docstring: group size as a
+    shape caused a compile storm)."""
 
     def __init__(self, params, cfg, ap, n_slots, chunk_frames, *,
                  gl_context, gl_lookahead, xfade, multispeaker):
@@ -180,14 +225,13 @@ class _EmitEngine:
 
     # -- slot lifecycle ---------------------------------------------------
 
-    def reset_slot(self, b, speaker_id):
-        """Host-side resets at admission. Device rows need no reset: every
-        read is bounded by the slot's own (M, n_ctx, n_pend) counters, so
-        a previous occupant's rows are never touched."""
+    def reset_slot(self, b):
+        """Host-side resets at admission (the speaker-id scatter rides the
+        single jitted _admit_scatter program). Device rows need no reset:
+        every read is bounded by the slot's own (M, n_ctx, n_pend)
+        counters, so a previous occupant's rows are never touched."""
         self.raw_tail[b] = 0.0
         self.zi[b] = 0.0
-        if self.spk is not None:
-            self.spk = self.spk.at[b].set(int(speaker_id))
 
     # -- programs (compiled once per static shape signature) ---------------
 
@@ -225,6 +269,9 @@ class _EmitEngine:
         return (Wb, e_m - ws, emit_to - ws)
 
     def _conv_prog(self, sig):
+        """Full-width converter: ALL S slot rows through the group's
+        window slice (rows outside the group compute garbage that the
+        masked GL stage never commits)."""
         Wb, o0, o1 = sig
         up = self.up
 
@@ -232,10 +279,9 @@ class _EmitEngine:
             from .builder import model_postnet
 
             @partial(jax.jit, static_argnames=("cfg",))
-            def prog(params, cfg, hist, spk, idx):
-                window = hist[idx][:, self.H - Wb:]
-                sp = None if spk is None else spk[idx]
-                lin = model_postnet(params, cfg, window, speaker_ids=sp)
+            def prog(params, cfg, hist, spk):
+                window = hist[:, self.H - Wb:]
+                lin = model_postnet(params, cfg, window, speaker_ids=spk)
                 return lax.slice_in_dim(lin, o0 * up, o1 * up, axis=1)
             return prog
         return self._prog(("conv",) + sig, build)
@@ -245,10 +291,10 @@ class _EmitEngine:
 
         def build():
             @jax.jit
-            def prog(pend, idx, lin_new):
+            def prog(pend, mask, lin_new):
                 if n_pend:
                     frames = jnp.concatenate(
-                        [pend[idx][:, GLA - n_pend:], lin_new], axis=1)
+                        [pend[:, GLA - n_pend:], lin_new], axis=1)
                 else:
                     frames = lin_new
                 pad = GLA - frames.shape[1]
@@ -256,14 +302,16 @@ class _EmitEngine:
                     z = jnp.zeros((frames.shape[0], pad, self.F),
                                   jnp.float32)
                     frames = jnp.concatenate([z, frames], axis=1)
-                return pend.at[idx].set(frames)
+                return jnp.where(mask[:, None, None], frames, pend)
             return prog
         return self._prog(("absorb", n_pend, n_new), build)
 
     def _gl_prog(self, sig):
         """(n_ctx, n_pend, n_new, keep_lookahead) -> jitted program:
-        gather group rows, vocode ONE batched window, scatter updated
-        tails, return the raw (pre-crossfade, pre-IIR) samples."""
+        vocode ONE batched window over ALL S slot rows, merge the updated
+        tails under the (S,) membership mask, return the raw
+        (pre-crossfade, pre-IIR) samples for every row (only member rows
+        are meaningful)."""
         n_ctx, n_pend, n_new, keep_la = sig
         GC, GLA, F = self.GC, self.GLA, self.F
         hop, xfade = self.hop, self.xfade
@@ -276,11 +324,11 @@ class _EmitEngine:
 
         def build():
             @jax.jit
-            def prog(lin_tail, prev_re, prev_im, pend, idx, lin_new,
+            def prog(lin_tail, prev_re, prev_im, pend, mask, lin_new,
                      power, mats):
                 parts = []
                 if n_pend:
-                    parts.append(pend[idx][:, GLA - n_pend:])
+                    parts.append(pend[:, GLA - n_pend:])
                 if n_new:
                     parts.append(lin_new)
                 frames = (parts[0] if len(parts) == 1
@@ -292,7 +340,7 @@ class _EmitEngine:
                     emit, new_pend = frames, None
                 wparts, tail_g = [], None
                 if n_ctx:
-                    tail_g = lin_tail[idx][:, GC - n_ctx:]
+                    tail_g = lin_tail[:, GC - n_ctx:]
                     wparts.append(tail_g)
                 wparts.append(emit)
                 if new_pend is not None:
@@ -301,33 +349,33 @@ class _EmitEngine:
                           else jnp.concatenate(wparts, axis=1))
                 prev = None
                 if n_ctx:
-                    prev = (prev_re[idx][:, GC - n_ctx:],
-                            prev_im[idx][:, GC - n_ctx:])
+                    prev = (prev_re[:, GC - n_ctx:],
+                            prev_im[:, GC - n_ctx:])
                 wav_win, spec_out = voc(window, power, mats, prev)
 
-                G = emit.shape[0]
+                S = emit.shape[0]
+                m3 = mask[:, None, None]
 
                 def right_align(a):
                     if pad:
-                        z = jnp.zeros((G, pad, F), jnp.float32)
+                        z = jnp.zeros((S, pad, F), jnp.float32)
                         return jnp.concatenate([z, a], axis=1)
                     return a
 
                 tail_seq = (emit if tail_g is None
                             else jnp.concatenate([tail_g, emit], axis=1))
                 tail_seq = tail_seq[:, -n_ctx2:]
-                lin_tail = lin_tail.at[idx].set(right_align(tail_seq))
+                lin_tail = jnp.where(m3, right_align(tail_seq), lin_tail)
                 lo_s = n_ctx + emit_n - n_ctx2
-                prev_re = prev_re.at[idx].set(right_align(
-                    spec_out[0][:, lo_s:n_ctx + emit_n]))
-                prev_im = prev_im.at[idx].set(right_align(
-                    spec_out[1][:, lo_s:n_ctx + emit_n]))
+                prev_re = jnp.where(m3, right_align(
+                    spec_out[0][:, lo_s:n_ctx + emit_n]), prev_re)
+                prev_im = jnp.where(m3, right_align(
+                    spec_out[1][:, lo_s:n_ctx + emit_n]), prev_im)
                 if GLA:
                     if new_pend is not None:
-                        pend = pend.at[idx].set(new_pend)
+                        pend = jnp.where(m3, new_pend, pend)
                     else:
-                        pend = pend.at[idx].set(
-                            jnp.zeros((G, GLA, F), jnp.float32))
+                        pend = jnp.where(m3, 0.0, pend)
                 lo, hi = n_ctx * hop, (n_ctx + emit_n) * hop
                 if n_ctx:               # a previous emission exists
                     raw = wav_win[:, lo - xfade:hi]
@@ -339,41 +387,35 @@ class _EmitEngine:
 
     # -- dispatch / completion ---------------------------------------------
 
-    def dispatch_conv(self, slots_by_sig):
-        """Per converter-signature group: ONE converter launch. Returns
-        {sig: (idx_np, lin_new_dev)} and updates slot (M, e_m) later via
-        complete paths."""
-        out = {}
-        for sig, idx in slots_by_sig.items():
-            prog = self._conv_prog(sig)
-            idx_np = np.asarray(idx, np.int32)
-            lin = prog(self.params, self.cfg, self.hist, self.spk,
-                       jnp.asarray(idx_np))
-            out[sig] = (idx_np, lin)
-        return out
+    def _mask(self, idx_np):
+        m = np.zeros((self.S,), bool)
+        m[idx_np] = True
+        return jnp.asarray(m)
 
     def dispatch_gl(self, gl_sig, idx_np, lin_new):
-        """ONE vocoder launch for a group sharing `gl_sig`; chains the
+        """ONE vocoder launch for a group sharing `gl_sig` (full slot
+        width; `idx_np` only builds the membership mask); chains the
         slot-batched state arrays. Returns the device raw samples."""
         n_ctx, n_pend, n_new, keep_la = gl_sig
         frames_n = n_pend + n_new
         if keep_la and frames_n <= self.GLA:       # absorb, no GL
             self.pend = self._absorb_prog(n_pend, n_new)(
-                self.pend, jnp.asarray(idx_np), lin_new)
+                self.pend, self._mask(idx_np), lin_new)
             return None
         raw, self.lin_tail, self.prev_re, self.prev_im, self.pend = \
             self._gl_prog(gl_sig)(
                 self.lin_tail, self.prev_re, self.prev_im, self.pend,
-                jnp.asarray(idx_np), lin_new, self.ap.power, self.ap._dft)
+                self._mask(idx_np), lin_new, self.ap.power, self.ap._dft)
         return raw
 
     def complete_group(self, idx_np, raw_dev, had_tail):
-        """Host half for one group: fetch, crossfade with the held tails,
-        inverse-preemphasis IIR with carried state. Returns (G, m) float32
-        ready-to-play samples (callers apply per-slot trims)."""
+        """Host half for one group: fetch, select the member rows,
+        crossfade with the held tails, inverse-preemphasis IIR with
+        carried state. Returns (G, m) float32 ready-to-play samples
+        (callers apply per-slot trims)."""
         from scipy.signal import lfilter
 
-        raw = np.asarray(raw_dev)
+        raw = np.asarray(raw_dev)[idx_np]
         if had_tail:
             head, rest = raw[:, :self.xfade], raw[:, self.xfade:]
             assert rest.shape[1] >= self.xfade, (rest.shape, self.xfade)
@@ -586,29 +628,17 @@ class ContinuousBatcher:
             self._init_slot_arrays(kv_row, mask_row, wq_row, sp_row)
         elif self._tk > tk_req:
             kv_row, mask_row = self._pad_rows(kv_row, mask_row, self._tk)
-        kv, mask, wq, sp = self._arrays
-        b = slot
-        kv = [None if p is None else
-              (p[0].at[b].set(pr[0][0]), p[1].at[b].set(pr[1][0]))
-              for p, pr in zip(kv, kv_row)]
-        mask = mask.at[b].set(mask_row[0])
-        if wq is not None:
-            wq = wq.at[b].set(wq_row[0])
-        if sp is not None:
-            sp = [a.at[b].set(r0[0]) for a, r0 in zip(sp, sp_row)]
-        self._arrays = [kv, mask, wq, sp]
-        prev, la, bufs = self._carry
-        prev = prev.at[b].set(0.0)
-        la = la.at[b].set(0)
-        bufs = tuple(a.at[b].set(0.0) for a in bufs)
-        self._carry = (prev, la, bufs)
         # same float expression as the kernel's static-Tk path so the
         # per-slot scale is bit-identical to a fresh stream's
         import math
-        self._ctx_scale = self._ctx_scale.at[b].set(
-            tk_req * math.sqrt(1.0 / tk_req))
-
-        self.emit.reset_slot(b, 0 if speaker_id is None else speaker_id)
+        scale_val = jnp.float32(tk_req * math.sqrt(1.0 / tk_req))
+        b = jnp.int32(slot)
+        spk_val = jnp.int32(0 if speaker_id is None else speaker_id)
+        self._arrays, self._carry, self._ctx_scale, self.emit.spk = \
+            _admit_scatter(self._arrays, self._carry, self._ctx_scale,
+                           self.emit.spk, b, kv_row, mask_row, wq_row,
+                           sp_row, scale_val, spk_val)
+        self.emit.reset_slot(slot)
         self._slots[slot] = _Slot(out_q)
 
     @staticmethod
@@ -668,23 +698,20 @@ class ContinuousBatcher:
             conv_groups.setdefault(sig, []).append(b)
         jobs = []
         for sig, idx in conv_groups.items():
+            # full-width launch: program identity is the signature alone
             lin = self.emit._conv_prog(sig)(
-                self.params, self.cfg, self.emit.hist, self.emit.spk,
-                jnp.asarray(np.asarray(idx, np.int32)))
+                self.params, self.cfg, self.emit.hist, self.emit.spk)
             n_new = (sig[2] - sig[1]) * self.emit.up
             # split the conv group by GL signature (slots can be at
             # different vocoder phases even with equal converter windows)
             gl_groups = {}
-            for i, b in enumerate(idx):
+            for b in idx:
                 gsig = self._gl_sig(self._slots[b], n_new, True)
-                gl_groups.setdefault(gsig, []).append((i, b))
-            for gsig, pairs in gl_groups.items():
-                rows = np.asarray([i for i, _ in pairs], np.int32)
-                slots_np = np.asarray([b for _, b in pairs], np.int32)
-                lin_g = lin if len(pairs) == len(idx) \
-                    else jnp.take(lin, jnp.asarray(rows), axis=0)
+                gl_groups.setdefault(gsig, []).append(b)
+            for gsig, slots in gl_groups.items():
+                slots_np = np.asarray(slots, np.int32)
                 had_tail = gsig[0] > 0
-                raw = self.emit.dispatch_gl(gsig, slots_np, lin_g)
+                raw = self.emit.dispatch_gl(gsig, slots_np, lin)
                 jobs.append((slots_np, raw, had_tail, gsig, n_new))
         return jobs
 
@@ -722,8 +749,7 @@ class ContinuousBatcher:
             ws = slot.M - Wb
             sig = (Wb, slot.e_m - ws, slot.M - ws)
             lin_last = self.emit._conv_prog(sig)(
-                self.params, self.cfg, self.emit.hist, self.emit.spk,
-                jnp.asarray(idx1))
+                self.params, self.cfg, self.emit.hist, self.emit.spk)
             n_new = (sig[2] - sig[1]) * self.emit.up
             # vocoder push (keeps the lookahead back)...
             gsig = self._gl_sig(slot, n_new, True)

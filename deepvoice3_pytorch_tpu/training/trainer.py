@@ -236,8 +236,13 @@ def make_train_step(cfg: TTSModelConfig, lc: LossConfig, optimizer, mask,
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, rng):
-        (_, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch, rng)
+        # conv lowering is context-dependent: tapsum wins the train step
+        # (+8-10 MFU), XLA's conv emitter wins forward-only synthesis.
+        # The context manager runs at trace time, so any retrace of this
+        # step re-selects the training mode (ops/core.py:conv_lowering).
+        with core.conv_lowering(core.CONV1D_MODE_TRAIN):
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, batch, rng)
         grads = jax.tree.map(lambda g, m: g * m, grads, mask)
         metrics["grad_norm"] = optax.global_norm(grads)
         updates, opt_state = optimizer.update(grads, state.opt_state,

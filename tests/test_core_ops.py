@@ -82,6 +82,41 @@ def test_conv1d_lowering_modes_equivalent(kw, dilation, causal):
     np.testing.assert_allclose(outs["im2col"], outs["xla"], atol=2e-5)
 
 
+def test_conv_lowering_is_context_dependent():
+    """The conv lowering is selected per trace context (ops/core.py):
+    the default (inference) trace emits XLA convolution HLO, while a
+    trace under conv_lowering('tapsum') — what the train step does —
+    emits only GEMMs. Both winners were measured on v5e (DESIGN.md
+    §4.1): tapsum wins the train step by ~1.2 ms, xla wins the
+    forward-only synthesis converter by ~2.8 ms."""
+    import jax
+
+    from deepvoice3_pytorch_tpu.ops import core as core_mod
+
+    rs = np.random.RandomState(5)
+    p = {"g": jnp.asarray(rs.randn(32).astype(np.float32)),
+         "v": jnp.asarray(rs.randn(3, 16, 32).astype(np.float32)),
+         "b": jnp.zeros((32,), jnp.float32)}
+    x = jnp.asarray(rs.randn(2, 40, 16).astype(np.float32))
+
+    def f_default(p, x):
+        return core_mod.conv1d_apply(p, x)
+
+    def f_train(p, x):
+        with core_mod.conv_lowering("tapsum"):
+            return core_mod.conv1d_apply(p, x)
+
+    assert core_mod.CONV1D_MODE == "xla"  # inference default
+    assert core_mod.CONV1D_MODE_TRAIN == "tapsum"  # train default
+    hlo_default = jax.jit(f_default).lower(p, x).as_text()
+    hlo_train = jax.jit(f_train).lower(p, x).as_text()
+    assert "convolution" in hlo_default
+    assert "convolution" not in hlo_train
+    assert core_mod.CONV1D_MODE == "xla"  # context restored after trace
+    np.testing.assert_allclose(np.asarray(f_train(p, x)),
+                               np.asarray(f_default(p, x)), atol=2e-5)
+
+
 def test_conv_transpose1d_parity():
     torch.manual_seed(0)
     m = ref_modules.ConvTranspose1d(16, 16, kernel_size=2, stride=2, padding=0,

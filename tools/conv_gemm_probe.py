@@ -105,7 +105,9 @@ def main():
 
     out = {"shapes": {"B": B, "T_lin": T_lin, "T_text": T_text}}
     for mode in ("xla", "tapsum", "im2col"):
-        core.CONV1D_MODE = mode
+        # the train step re-selects CONV1D_MODE_TRAIN at trace time, so
+        # probing a mode means overriding the TRAIN default
+        core.CONV1D_MODE_TRAIN = mode
         row = {}
         step_fn = trainer.make_train_step(cfg, lc, opt, mask,
                                           compute_dtype="bfloat16")
@@ -119,7 +121,7 @@ def main():
         row["seq2seq_only"] = time_step(step_fn, state, batch, rng)
         out[mode] = row
         print(mode, json.dumps(row), file=sys.stderr)
-    core.CONV1D_MODE = "xla"
+    core.CONV1D_MODE_TRAIN = "tapsum"
     print(json.dumps(out))
     return 0
 
