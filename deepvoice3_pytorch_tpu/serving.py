@@ -213,6 +213,18 @@ class _EmitEngine:
         self.spk = jnp.zeros((S,), jnp.int32) if multispeaker else None
         self.raw_tail = np.zeros((S, self.xfade), np.float32)
         self.zi = np.zeros((S, 1), np.float32)
+        # step-level raw accumulator: every in-step GL program right-pads
+        # its raw samples to m_max and merges them under the membership
+        # mask, so a step fetches ONE (S, m_max) array no matter how many
+        # phase groups it dispatched (each per-group fetch through the
+        # dev tunnel costs a full round trip AND S*m bytes at full slot
+        # width; the accumulator restores sync-stream fetch cost).
+        # m_max covers any in-step emission: cr postnet frames upsampled,
+        # plus the crossfade head. Larger windows (retire flush) return
+        # raw directly — decided statically per program.
+        self.m_max = self.cr * self.up * self.hop + self.xfade
+        self.raw_buf = jnp.zeros((S, self.m_max), f32)
+        self._mask_cache = {}
         self.ramp = np.linspace(0.0, 1.0, self.xfade, endpoint=False,
                                 dtype=np.float32)
         # jitted window vocoder shared with the streaming pipeline
@@ -321,11 +333,14 @@ class _EmitEngine:
         assert emit_n > 0, sig
         n_ctx2 = min(GC, n_ctx + emit_n)
         pad = GC - n_ctx2
+        m_g = self.raw_width(sig)
+        buffered = m_g <= self.m_max
+        m_max = self.m_max
 
         def build():
             @jax.jit
-            def prog(lin_tail, prev_re, prev_im, pend, mask, lin_new,
-                     power, mats):
+            def prog(raw_buf, lin_tail, prev_re, prev_im, pend, mask,
+                     lin_new, power, mats):
                 parts = []
                 if n_pend:
                     parts.append(pend[:, GLA - n_pend:])
@@ -381,6 +396,14 @@ class _EmitEngine:
                     raw = wav_win[:, lo - xfade:hi]
                 else:
                     raw = wav_win[:, :hi]
+                if buffered:
+                    # right-align into the step accumulator (host slices
+                    # each slot's trailing raw_width(sig) samples back out)
+                    if raw.shape[1] < m_max:
+                        z = jnp.zeros((S, m_max - raw.shape[1]),
+                                      jnp.float32)
+                        raw = jnp.concatenate([z, raw], axis=1)
+                    raw = jnp.where(mask[:, None], raw, raw_buf)
                 return raw, lin_tail, prev_re, prev_im, pend
             return prog
         return self._prog(("gl",) + sig, build)
@@ -388,14 +411,31 @@ class _EmitEngine:
     # -- dispatch / completion ---------------------------------------------
 
     def _mask(self, idx_np):
-        m = np.zeros((self.S,), bool)
-        m[idx_np] = True
-        return jnp.asarray(m)
+        """Device membership mask for a slot-index set, memoized: a step
+        re-dispatches the same groups every chunk, and each uncached mask
+        is a host->device transfer on the step path."""
+        key = idx_np.tobytes()
+        m = self._mask_cache.get(key)
+        if m is None:
+            h = np.zeros((self.S,), bool)
+            h[idx_np] = True
+            m = self._mask_cache[key] = jnp.asarray(h)
+        return m
+
+    def raw_width(self, gl_sig):
+        """Samples this GL signature emits (pre-crossfade raw width)."""
+        n_ctx, n_pend, n_new, keep_la = gl_sig
+        emit_n = n_pend + n_new - (self.GLA if keep_la else 0)
+        return emit_n * self.hop + (self.xfade if n_ctx else 0)
 
     def dispatch_gl(self, gl_sig, idx_np, lin_new):
         """ONE vocoder launch for a group sharing `gl_sig` (full slot
         width; `idx_np` only builds the membership mask); chains the
-        slot-batched state arrays. Returns the device raw samples."""
+        slot-batched state arrays. Returns None (absorbed into the
+        lookahead), the string "buf" (raw merged into the step
+        accumulator self.raw_buf — the normal in-step case), or the
+        device raw samples directly (emissions wider than m_max, i.e.
+        the retire flush)."""
         n_ctx, n_pend, n_new, keep_la = gl_sig
         frames_n = n_pend + n_new
         if keep_la and frames_n <= self.GLA:       # absorb, no GL
@@ -404,18 +444,26 @@ class _EmitEngine:
             return None
         raw, self.lin_tail, self.prev_re, self.prev_im, self.pend = \
             self._gl_prog(gl_sig)(
-                self.lin_tail, self.prev_re, self.prev_im, self.pend,
-                self._mask(idx_np), lin_new, self.ap.power, self.ap._dft)
+                self.raw_buf, self.lin_tail, self.prev_re, self.prev_im,
+                self.pend, self._mask(idx_np), lin_new, self.ap.power,
+                self.ap._dft)
+        if self.raw_width(gl_sig) <= self.m_max:
+            self.raw_buf = raw
+            return "buf"
         return raw
 
     def complete_group(self, idx_np, raw_dev, had_tail):
-        """Host half for one group: fetch, select the member rows,
+        """Fetch one group's device raw and run the host half."""
+        return self.complete_rows(idx_np, np.asarray(raw_dev)[idx_np],
+                                  had_tail)
+
+    def complete_rows(self, idx_np, raw, had_tail):
+        """Host half for one group's already-fetched (G, m) raw samples:
         crossfade with the held tails, inverse-preemphasis IIR with
-        carried state. Returns (G, m) float32 ready-to-play samples
+        carried state. Returns (G, m') float32 ready-to-play samples
         (callers apply per-slot trims)."""
         from scipy.signal import lfilter
 
-        raw = np.asarray(raw_dev)[idx_np]
         if had_tail:
             head, rest = raw[:, :self.xfade], raw[:, self.xfade:]
             assert rest.shape[1] >= self.xfade, (rest.shape, self.xfade)
@@ -716,8 +764,13 @@ class ContinuousBatcher:
         return jobs
 
     def _complete_jobs(self, jobs):
-        """Fetch each group's raw samples, crossfade + IIR on host, queue
+        """Complete the step's emission groups: ONE fetch of the step
+        raw accumulator covers every buffered group (however many phase
+        groups the step dispatched), then crossfade + IIR on host, queue
         per-slot audio, update per-slot emission phase."""
+        raw_host = None
+        if any(isinstance(raw, str) for _, raw, _, _, _ in jobs):
+            raw_host = np.asarray(self.emit.raw_buf)   # (S, m_max) sync
         for slots_np, raw, had_tail, gsig, n_new in jobs:
             if raw is None:                  # absorbed into lookahead
                 for b in slots_np:
@@ -725,12 +778,28 @@ class ContinuousBatcher:
                     self._apply_gl_result(slot, n_new, True)
                     slot.e_m = slot.M - self.emit.ctx_r
                 continue
-            audio = self.emit.complete_group(slots_np, raw, had_tail)
+            if isinstance(raw, str):         # merged into the accumulator
+                m_g = self.emit.raw_width(gsig)
+                rows = raw_host[slots_np][:, self.emit.m_max - m_g:]
+                audio = self.emit.complete_rows(slots_np, rows, had_tail)
+            else:
+                audio = self.emit.complete_group(slots_np, raw, had_tail)
             for i, b in enumerate(slots_np):
                 slot = self._slots[b]
                 self._apply_gl_result(slot, n_new, True)
                 slot.e_m = slot.M - self.emit.ctx_r
                 self._put_audio(slot, audio[i])
+
+    def _complete_retire(self, idx1, raw, gsig):
+        """Complete one retire-path GL emission: fetch the slot's row
+        from the step accumulator (a "buf" marker) or the directly
+        returned device raw (emissions wider than m_max)."""
+        if isinstance(raw, str):
+            m_g = self.emit.raw_width(gsig)
+            rows = np.asarray(self.emit.raw_buf)[idx1][
+                :, self.emit.m_max - m_g:]
+            return self.emit.complete_rows(idx1, rows, gsig[0] > 0)
+        return self.emit.complete_group(idx1, raw, gsig[0] > 0)
 
     def _finish_slot(self, b, n_dec):
         """Retire slot b: emit the held-back converter lookahead
@@ -755,7 +824,7 @@ class ContinuousBatcher:
             gsig = self._gl_sig(slot, n_new, True)
             raw = self.emit.dispatch_gl(gsig, idx1, lin_last)
             if raw is not None:
-                audio = self.emit.complete_group(idx1, raw, gsig[0] > 0)
+                audio = self._complete_retire(idx1, raw, gsig)
                 self._apply_gl_result(slot, n_new, True)
                 self._put_audio(slot, audio[0])
             else:
@@ -765,7 +834,7 @@ class ContinuousBatcher:
         if slot.n_pend:
             gsig = self._gl_sig(slot, 0, False)
             raw = self.emit.dispatch_gl(gsig, idx1, None)
-            audio = self.emit.complete_group(idx1, raw, gsig[0] > 0)
+            audio = self._complete_retire(idx1, raw, gsig)
             self._apply_gl_result(slot, 0, False)
             self._put_audio(slot, audio[0])
         # the held crossfade tail is the stream's final samples

@@ -470,3 +470,50 @@ def test_steady_state_grouped_program_launches():
     for q in queues:             # and every stream completed cleanly
         audio, n_dec = _drain(q)
         assert audio.shape[0] > 0 and n_dec > 0
+
+def test_step_accumulator_single_fetch_under_staggered_phases():
+    """Round-4 fetch contract: slots admitted at different chunk
+    boundaries occupy different vocoder phases, so one step() can
+    dispatch SEVERAL GL phase groups — but every in-step emission must
+    merge into the persistent (S, m_max) step accumulator ("buf"), so
+    the host performs ONE raw fetch per step, not one per group
+    (per-group fetches at full slot width were measured as the dominant
+    staggered-vs-synchronized gap; see DESIGN.md)."""
+    cfg, params, ap = _setup()
+    CHUNK, MAX, PAD, CTX = 8, 24, 40, 8
+    batcher = serving.ContinuousBatcher(
+        params, cfg, ap, en, n_slots=3, text_pad=PAD, chunk=CHUNK,
+        max_decoder_steps=MAX, gl_context=CTX)
+
+    stats = {"max_groups": 0, "dev_fetch_groups": 0}
+    orig_cj = batcher._complete_jobs
+
+    def counting_cj(jobs):
+        emitting = [r for _, r, _, _, _ in jobs if r is not None]
+        stats["max_groups"] = max(stats["max_groups"], len(emitting))
+        stats["dev_fetch_groups"] += sum(
+            1 for r in emitting if not isinstance(r, str))
+        return orig_cj(jobs)
+
+    batcher._complete_jobs = counting_cj
+
+    # staggered admission: each slot starts one chunk after the previous,
+    # so their emission phases (n_ctx ramp, pend fill) differ per step
+    queues = [batcher.submit(TEXT_A)]
+    batcher.step()
+    queues.append(batcher.submit(TEXT_B))
+    batcher.step()
+    queues.append(batcher.submit(TEXT_C))
+    steps = 2
+    while batcher.step():
+        steps += 1
+        assert steps < 80
+
+    # the stagger actually produced multi-group steps, and none of the
+    # in-step groups returned raw device samples (all buffered => the
+    # completion pass fetched the accumulator exactly once per step)
+    assert stats["max_groups"] >= 2, stats
+    assert stats["dev_fetch_groups"] == 0, stats
+    for q in queues:
+        audio, n_dec = _drain(q)
+        assert audio.shape[0] > 0 and n_dec > 0
