@@ -551,6 +551,7 @@ def bench_continuous_batching(params, cfg, hp, ap, n_req=8, n_slots=8,
                 time.sleep(stagger_s * i)
             results[i] = req(SENTENCES[i % len(SENTENCES)], spk_of(i))
 
+        before = b.timing()
         t0 = time.perf_counter()
         threads = [threading.Thread(target=worker_req, args=(i,))
                    for i in range(n_req)]
@@ -558,30 +559,39 @@ def bench_continuous_batching(params, cfg, hp, ap, n_req=8, n_slots=8,
             t.start()
         for t in threads:
             t.join()
-        return time.perf_counter() - t0, results
+        wall = time.perf_counter() - t0
+        after = b.timing()
+        phases = {k: round(after[k] - before[k], 1) for k in after}
+        return wall, results, phases
 
     runs = [experiment() for _ in range(repeats)]
     stop.set()
-    wall, results = min(runs, key=lambda r: r[0])
+    wall, results, phases = min(runs, key=lambda r: r[0])
     audio_s = sum(r[2] for r in results.values()) / hp.sample_rate
     return {
+        "step_phase_ms": phases,
         "n_requests": n_req,
         "n_slots": n_slots,
         "arrival_stagger_ms": round(stagger_s * 1e3, 1),
         "ttfa_ms_per_request": [round(results[i][0] * 1e3, 1)
                                 for i in range(n_req)],
         "wall_ms": round(wall * 1e3, 1),
-        "wall_ms_runs": [round(w * 1e3, 1) for w, _ in runs],
+        "wall_ms_runs": [round(w * 1e3, 1) for w, _, _ in runs],
         "audio_seconds": round(audio_s, 2),
         "aggregate_rtf": round(audio_s / wall, 2),
     }
 
 
 def bench_cb_multispeaker():
-    """Mixed-speaker continuous batching (VCTK preset, random weights —
-    a throughput row: the done latch never fires, every request decodes
-    to max steps): per-slot speaker biases + position rates scatter under
-    load, requests cycling through 8 different speaker ids."""
+    """Mixed-speaker continuous batching (VCTK preset, random weights):
+    per-slot speaker biases + position rates scatter under load,
+    requests cycling through 8 different speaker ids. Random weights
+    flip a coin on the done flag each step, so the latch would fire
+    right after min_decoder_steps (~0.6 s utterances — fixed costs
+    dominate and the row reads 4.7x); min_decoder_steps=200 (= the
+    batcher's max) makes every request decode to the full cap (~2 s at
+    the preset's r=1), so this measures mixed-speaker streaming
+    throughput, not latch noise."""
     from deepvoice3_pytorch_tpu.dsp.audio import AudioProcessor
     from deepvoice3_pytorch_tpu.frontend import en
     from deepvoice3_pytorch_tpu.hparams import default_hparams
@@ -592,6 +602,9 @@ def bench_cb_multispeaker():
                            "presets", "deepvoice3_vctk.json")) as f:
         hp.parse_json(f.read())
     cfg, params = build_model(hp, en.n_vocab)
+    import dataclasses
+    cfg = dataclasses.replace(
+        cfg, decoder=dataclasses.replace(cfg.decoder, min_decoder_steps=200))
     ap = AudioProcessor(hp)
     out = bench_continuous_batching(
         params, cfg, hp, ap, n_req=8, n_slots=8,

@@ -57,6 +57,7 @@ after full synthesis, reference synthesis.py:42-73).
 
 import queue
 import threading
+import time
 from functools import partial
 
 import numpy as np
@@ -66,6 +67,16 @@ from jax import lax
 
 from .ops import core, fused_decode as fd
 from . import streaming
+
+
+@jax.jit
+def _pack_done_raw(d, raw_buf):
+    """Ride the step's done flags in the same device->host transfer as
+    the raw-sample accumulator: one blocking sync per step instead of
+    two (each round trip measured ~27 ms through the dev tunnel)."""
+    S = raw_buf.shape[0]
+    return jnp.concatenate(
+        [d.reshape(S, -1).astype(jnp.float32), raw_buf], axis=1)
 
 
 @jax.jit
@@ -318,12 +329,20 @@ class _EmitEngine:
             return prog
         return self._prog(("absorb", n_pend, n_new), build)
 
-    def _gl_prog(self, sig):
+    def _gl_prog(self, sig, row=False):
         """(n_ctx, n_pend, n_new, keep_lookahead) -> jitted program:
         vocode ONE batched window over ALL S slot rows, merge the updated
         tails under the (S,) membership mask, return the raw
         (pre-crossfade, pre-IIR) samples for every row (only member rows
-        are meaningful)."""
+        are meaningful).
+
+        row=True (the retire path, always G=1): return ONLY the member
+        slot's raw samples as an (m,) vector — the mask-selected row-sum —
+        instead of the full (S, m) array or an accumulator merge. Retire
+        emissions are fetched immediately and can be wide (the lookahead
+        flush), so shrinking the transfer S-fold is the whole point
+        (measured: the retire phase was the largest term in the
+        continuous-batching step budget, ~40%)."""
         n_ctx, n_pend, n_new, keep_la = sig
         GC, GLA, F = self.GC, self.GLA, self.F
         hop, xfade = self.hop, self.xfade
@@ -396,7 +415,11 @@ class _EmitEngine:
                     raw = wav_win[:, lo - xfade:hi]
                 else:
                     raw = wav_win[:, :hi]
-                if buffered:
+                if row:
+                    # single-slot emission: ship only the member row
+                    # (where, not multiply: non-member rows can be junk)
+                    raw = jnp.where(mask[:, None], raw, 0.0).sum(0)
+                elif buffered:
                     # right-align into the step accumulator (host slices
                     # each slot's trailing raw_width(sig) samples back out)
                     if raw.shape[1] < m_max:
@@ -406,7 +429,7 @@ class _EmitEngine:
                     raw = jnp.where(mask[:, None], raw, raw_buf)
                 return raw, lin_tail, prev_re, prev_im, pend
             return prog
-        return self._prog(("gl",) + sig, build)
+        return self._prog(("gl", row) + sig, build)
 
     # -- dispatch / completion ---------------------------------------------
 
@@ -428,14 +451,15 @@ class _EmitEngine:
         emit_n = n_pend + n_new - (self.GLA if keep_la else 0)
         return emit_n * self.hop + (self.xfade if n_ctx else 0)
 
-    def dispatch_gl(self, gl_sig, idx_np, lin_new):
+    def dispatch_gl(self, gl_sig, idx_np, lin_new, row=False):
         """ONE vocoder launch for a group sharing `gl_sig` (full slot
         width; `idx_np` only builds the membership mask); chains the
         slot-batched state arrays. Returns None (absorbed into the
         lookahead), the string "buf" (raw merged into the step
         accumulator self.raw_buf — the normal in-step case), or the
-        device raw samples directly (emissions wider than m_max, i.e.
-        the retire flush)."""
+        device raw samples directly: the member slot's (m,) row when
+        row=True (the retire path), else the full-width array (in-step
+        emissions wider than m_max — shouldn't happen by construction)."""
         n_ctx, n_pend, n_new, keep_la = gl_sig
         frames_n = n_pend + n_new
         if keep_la and frames_n <= self.GLA:       # absorb, no GL
@@ -443,11 +467,11 @@ class _EmitEngine:
                 self.pend, self._mask(idx_np), lin_new)
             return None
         raw, self.lin_tail, self.prev_re, self.prev_im, self.pend = \
-            self._gl_prog(gl_sig)(
+            self._gl_prog(gl_sig, row)(
                 self.raw_buf, self.lin_tail, self.prev_re, self.prev_im,
                 self.pend, self._mask(idx_np), lin_new, self.ap.power,
                 self.ap._dft)
-        if self.raw_width(gl_sig) <= self.m_max:
+        if not row and self.raw_width(gl_sig) <= self.m_max:
             self.raw_buf = raw
             return "buf"
         return raw
@@ -456,6 +480,26 @@ class _EmitEngine:
         """Fetch one group's device raw and run the host half."""
         return self.complete_rows(idx_np, np.asarray(raw_dev)[idx_np],
                                   had_tail)
+
+    def fetch_packed(self, raws):
+        """Fetch several (m_i,) device vectors in ONE host transfer:
+        concatenate on device (a tiny jitted program memoized per width
+        tuple), fetch once, split on host. Returns the list of host
+        rows in order."""
+        if not raws:
+            return []
+        if len(raws) == 1:
+            return [np.asarray(raws[0])]
+        widths = tuple(int(r.shape[0]) for r in raws)
+
+        def build():
+            return jax.jit(lambda *rs: jnp.concatenate(rs))
+        packed = np.asarray(self._prog(("pack",) + widths, build)(*raws))
+        out, o = [], 0
+        for w in widths:
+            out.append(packed[o:o + w])
+            o += w
+        return out
 
     def complete_rows(self, idx_np, raw, had_tail):
         """Host half for one group's already-fetched (G, m) raw samples:
@@ -560,6 +604,21 @@ class ContinuousBatcher:
         self._carry = None           # (prev, la, bufs)
         # per-slot attention context scale, frozen at admission
         self._ctx_scale = jnp.ones((n_slots,), jnp.float32)
+        # cumulative per-phase wall time inside step(), for attributing
+        # the serving-vs-synchronized gap (read via timing())
+        self._phase_s = {"admit": 0.0, "decode_dispatch": 0.0,
+                         "emit_dispatch": 0.0, "done_fetch": 0.0,
+                         "complete": 0.0, "retire": 0.0}
+        self._steps_run = 0
+
+    def timing(self):
+        """Cumulative host wall-clock per step() phase since construction:
+        {phase: total_ms}, plus n_steps. decode/emit dispatch are async
+        program launches; done_fetch and complete carry the two per-step
+        device syncs (decode flags, raw-sample accumulator)."""
+        out = {k: round(v * 1e3, 1) for k, v in self._phase_s.items()}
+        out["n_steps"] = self._steps_run
+        return out
 
     # -- request side -------------------------------------------------------
 
@@ -763,14 +822,11 @@ class ContinuousBatcher:
                 jobs.append((slots_np, raw, had_tail, gsig, n_new))
         return jobs
 
-    def _complete_jobs(self, jobs):
-        """Complete the step's emission groups: ONE fetch of the step
-        raw accumulator covers every buffered group (however many phase
-        groups the step dispatched), then crossfade + IIR on host, queue
+    def _complete_jobs(self, jobs, raw_host):
+        """Complete the step's emission groups from the already-fetched
+        step raw accumulator (ONE fetch per step, packed with the done
+        flags — step() fetched it): crossfade + IIR on host, queue
         per-slot audio, update per-slot emission phase."""
-        raw_host = None
-        if any(isinstance(raw, str) for _, raw, _, _, _ in jobs):
-            raw_host = np.asarray(self.emit.raw_buf)   # (S, m_max) sync
         for slots_np, raw, had_tail, gsig, n_new in jobs:
             if raw is None:                  # absorbed into lookahead
                 for b in slots_np:
@@ -790,25 +846,19 @@ class ContinuousBatcher:
                 slot.e_m = slot.M - self.emit.ctx_r
                 self._put_audio(slot, audio[i])
 
-    def _complete_retire(self, idx1, raw, gsig):
-        """Complete one retire-path GL emission: fetch the slot's row
-        from the step accumulator (a "buf" marker) or the directly
-        returned device raw (emissions wider than m_max)."""
-        if isinstance(raw, str):
-            m_g = self.emit.raw_width(gsig)
-            rows = np.asarray(self.emit.raw_buf)[idx1][
-                :, self.emit.m_max - m_g:]
-            return self.emit.complete_rows(idx1, rows, gsig[0] > 0)
-        return self.emit.complete_group(idx1, raw, gsig[0] > 0)
-
     def _finish_slot(self, b, n_dec):
         """Retire slot b: emit the held-back converter lookahead
         [e_m, M), flush the vocoder lookahead and crossfade tail —
         the exact StreamEmitter.finish / StreamingVocoder.flush sequence,
-        via the same grouped programs at G=1."""
+        via the same grouped programs at G=1 in row mode (each GL
+        returns the member slot's (m,) samples). Both flush programs are
+        dispatched BEFORE any fetch, and their rows come back in ONE
+        packed transfer — a retirement costs one device sync, not two
+        full-width ones (measured as the largest step-budget term)."""
         slot = self._slots[b]
         slot.n_total = streaming.decoded_samples(self.cfg, self.ap, n_dec)
         idx1 = np.asarray([b], np.int32)
+        emits = []                        # (gsig, (m,) device raw)
         if slot.M > slot.e_m:
             # final converter emission [e_m, M) — window per the same
             # formula with emit_to = M
@@ -822,20 +872,21 @@ class ContinuousBatcher:
             n_new = (sig[2] - sig[1]) * self.emit.up
             # vocoder push (keeps the lookahead back)...
             gsig = self._gl_sig(slot, n_new, True)
-            raw = self.emit.dispatch_gl(gsig, idx1, lin_last)
+            raw = self.emit.dispatch_gl(gsig, idx1, lin_last, row=True)
+            self._apply_gl_result(slot, n_new, True)
             if raw is not None:
-                audio = self._complete_retire(idx1, raw, gsig)
-                self._apply_gl_result(slot, n_new, True)
-                self._put_audio(slot, audio[0])
-            else:
-                self._apply_gl_result(slot, n_new, True)
+                emits.append((gsig, raw))
             slot.e_m = slot.M
         # ...then flush it (vocode [ctx | pend], emit everything)
         if slot.n_pend:
             gsig = self._gl_sig(slot, 0, False)
-            raw = self.emit.dispatch_gl(gsig, idx1, None)
-            audio = self._complete_retire(idx1, raw, gsig)
+            raw = self.emit.dispatch_gl(gsig, idx1, None, row=True)
             self._apply_gl_result(slot, 0, False)
+            emits.append((gsig, raw))
+        # one packed fetch for however many flush emissions there were
+        rows = self.emit.fetch_packed([r for _, r in emits])
+        for (gsig, _), row in zip(emits, rows):
+            audio = self.emit.complete_rows(idx1, row[None], gsig[0] > 0)
             self._put_audio(slot, audio[0])
         # the held crossfade tail is the stream's final samples
         tail = self.emit.flush_tail(b)
@@ -848,6 +899,7 @@ class ContinuousBatcher:
         per-slot audio (grouped programs). Returns the number of active
         slots BEFORE retirement (0 = nothing to do)."""
         with self._lock:
+            t0 = time.perf_counter()
             for b in range(self.n_slots):
                 if self._slots[b] is None and not self._waiting.empty():
                     try:
@@ -859,6 +911,9 @@ class ContinuousBatcher:
                       if self._slots[b] is not None]
             if not active:
                 return 0
+            t1 = time.perf_counter()
+            self._phase_s["admit"] += t1 - t0
+            self._steps_run += 1
 
             kv, mask, wq, sp = self._arrays
             prev, la, bufs = self._carry
@@ -870,6 +925,8 @@ class ContinuousBatcher:
                 self._ctx_scale, self.fpe_table, jnp.asarray(local),
                 prev, la, bufs, steps=self.chunk, fpe_raw=self.fpe_raw,
                 interpret=self.interpret)
+            t2 = time.perf_counter()
+            self._phase_s["decode_dispatch"] += t2 - t1
 
             # grouped emission, dispatched before the done fetch so the
             # (S, chunk) host sync overlaps the converter + GL device time
@@ -879,8 +936,22 @@ class ContinuousBatcher:
             else:
                 pin = o.reshape(S, self.chunk * self.r, -1)
             jobs = self._emit_step(active, pin)
+            t3 = time.perf_counter()
+            self._phase_s["emit_dispatch"] += t3 - t2
 
-            d_host = np.asarray(d)                     # (S, chunk) sync
+            # ONE device sync per step: the done flags ride in the same
+            # transfer as the raw-sample accumulator (a second blocking
+            # round trip measured ~20% of the step budget on its own)
+            raw_host = None
+            if any(isinstance(r, str) for _, r, _, _, _ in jobs):
+                packed = _pack_done_raw(d, self.emit.raw_buf)
+                packed = np.asarray(packed)            # (S, chunk+m) sync
+                d_host = packed[:, :self.chunk]
+                raw_host = packed[:, self.chunk:]
+            else:
+                d_host = np.asarray(d)                 # (S, chunk) sync
+            t4 = time.perf_counter()
+            self._phase_s["done_fetch"] += t4 - t3
             retires = []
             for b in active:
                 slot = self._slots[b]
@@ -902,9 +973,14 @@ class ContinuousBatcher:
                         self.cfg, self.ap, n_dec)
                     retires.append((b, n_dec))
 
-            self._complete_jobs(jobs)
+            t5 = time.perf_counter()
+            self._phase_s["done_fetch"] += t5 - t4   # + done-row latching
+            self._complete_jobs(jobs, raw_host)
+            t6 = time.perf_counter()
+            self._phase_s["complete"] += t6 - t5
             for b, n_dec in retires:
                 self._finish_slot(b, n_dec)
+            self._phase_s["retire"] += time.perf_counter() - t6
             return len(active)
 
     def _fail_all(self, exc):

@@ -140,6 +140,9 @@ class TTSEngine:
             # active_slots = occupied slots, reported separately
             s["backlog"] = self.batcher.waiting()
             s["active_slots"] = self.batcher.active_slots()
+            # cumulative per-phase wall inside step() — attributes engine
+            # time to dispatch vs the two device syncs vs host DSP
+            s["step_phase_ms"] = self.batcher.timing()
         s["uptime_s"] = round(time.time() - self._t_start, 1)
         return s
 
