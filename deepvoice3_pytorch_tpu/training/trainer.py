@@ -122,14 +122,29 @@ def compute_losses(outputs, batch, lc: LossConfig):
     metrics = {}
     loss = 0.0
 
-    if lc.train_seq2seq:
-        if lc.masked_loss_weight > 0:
-            decoder_target_mask = core.sequence_mask(
-                target_lengths // (r * lc.downsample_step),
-                mel.shape[1])[..., None]
-            decoder_target_mask = decoder_target_mask[:, r:, :]
+    # Mask construction mirrors reference train.py:665-680 exactly,
+    # including the downsample_step == 1 quirk: the reference reuses the
+    # decoder-domain mask (valid length target_lengths // r, NOT
+    # target_lengths) for the LINEAR loss too when no downsampling is in
+    # effect ("target_mask = decoder_target_mask"). All shipped presets use
+    # downsample_step=4 so this only shows up in r>1/ds=1 configs, but
+    # training-dynamics parity (tests/test_training_parity.py) holds us to
+    # the reference's gradient flow, quirks included.
+    if lc.masked_loss_weight > 0:
+        decoder_target_mask = core.sequence_mask(
+            target_lengths // (r * lc.downsample_step),
+            mel.shape[1])[..., None]
+        if lc.downsample_step > 1:
+            target_mask = core.sequence_mask(target_lengths,
+                                             y.shape[1])[..., None]
         else:
-            decoder_target_mask = None
+            target_mask = decoder_target_mask
+        decoder_target_mask = decoder_target_mask[:, r:, :]
+        target_mask = target_mask[:, r:, :]
+    else:
+        decoder_target_mask, target_mask = None, None
+
+    if lc.train_seq2seq:
         mel_l1, mel_bd = losses.spec_loss(
             mel_outputs[:, :-r, :], mel[:, r:, :], decoder_target_mask,
             masked_loss_weight=lc.masked_loss_weight,
@@ -148,12 +163,6 @@ def compute_losses(outputs, batch, lc: LossConfig):
             metrics["attn_loss"] = attn_loss
 
     if lc.train_postnet:
-        if lc.masked_loss_weight > 0:
-            target_mask = core.sequence_mask(target_lengths,
-                                             y.shape[1])[..., None]
-            target_mask = target_mask[:, r:, :]
-        else:
-            target_mask = None
         lin_l1, lin_bd = losses.spec_loss(
             linear_outputs[:, :-r, :], y[:, r:, :], target_mask,
             masked_loss_weight=lc.masked_loss_weight,

@@ -71,6 +71,54 @@ def _stub_optional_deps():
         pass
 
 
+def import_reference_train():
+    """Import /root/reference/train.py in place (as module ``ref_train``) so
+    training-dynamics parity tests can drive the reference's actual loss
+    assembly (spec_loss, MaskedL1Loss, guided_attentions, sequence_mask —
+    reference train.py:261-601) through torch autograd.
+
+    The module's heavy/unavailable deps (docopt, numba, nnmnkwii, librosa,
+    lws) are stubbed: none of them participate in the loss math — numba's
+    @jit is a pure speedup on guided_attention, which runs fine as plain
+    Python at test shapes."""
+    import importlib.util
+
+    if "ref_train" in sys.modules:
+        return sys.modules["ref_train"]
+    import_reference()
+
+    def _stub(name, **attrs):
+        if name in sys.modules:
+            return sys.modules[name]
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules[name] = m
+        return m
+
+    _stub("docopt", docopt=lambda *a, **k: {})
+    # numba.jit(nopython=True) -> identity decorator (guided_attention then
+    # executes as plain Python; test shapes are tiny)
+    _stub("numba", jit=lambda *a, **k: (lambda f: f))
+    nn_mod = _stub("nnmnkwii")
+    ds_mod = _stub("nnmnkwii.datasets",
+                   FileSourceDataset=type("FileSourceDataset", (), {}),
+                   FileDataSource=type("FileDataSource", (), {}))
+    nn_mod.datasets = ds_mod
+    lr_mod = _stub("librosa")
+    lr_mod.__path__ = []  # mark as package so `import librosa.X` resolves
+    for sub in ("display", "filters", "core", "effects"):
+        setattr(lr_mod, sub, _stub("librosa." + sub))
+    _stub("lws")
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_train", REFERENCE_ROOT + "/train.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_train"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def torch_linear_params(m):
     """torch weight-normed Linear -> our {'v','g','b'} layout (in, out)."""
     v = m.weight_v.detach().numpy()          # (out, in)
