@@ -199,7 +199,9 @@ def main():
             wav = c_voc(linear)
         np.asarray(wav[0, -4:])
         walls.append((time.perf_counter() - t0) / N_TIMED)
-    wall = min(walls)
+    # median-of-3 (spread rides along); see bench_trained_early_exit
+    wall = sorted(walls)[len(walls) // 2]
+    wall_best, wall_worst = min(walls), max(walls)
 
     # transparency: the same pipeline timed with the full waveform fetched
     # to host through this tunnel each run
@@ -214,6 +216,8 @@ def main():
     extras = {
         "fixed_len": {
             "rtf": round(rtf, 2),
+            "rtf_spread": [round(audio_seconds / wall_worst, 2),
+                           round(audio_seconds / wall_best, 2)],
             "ms_per_batch_device": round(wall * 1000.0, 2),
             "rtf_incl_full_host_fetch_via_dev_tunnel":
                 round(audio_seconds / wall_fetch, 2),
@@ -241,12 +245,14 @@ def main():
         headline = {
             "metric": "trained_ckpt_early_exit_synthesis_rtf_b32"
                       "_incl_griffinlim",
-            "value": trained["rtf"],
+            "value": trained["rtf"],               # median-of-3
+            "spread": trained.get("rtf_spread"),   # [worst, best]
         }
     else:
         headline = {
             "metric": "batched_synthesis_rtf_b32_incl_griffinlim_fixed150",
-            "value": round(rtf, 2),
+            "value": round(rtf, 2),                # median-of-3
+            "spread": extras["fixed_len"]["rtf_spread"],
         }
     result = dict(headline, unit="x_realtime",
                   vs_baseline=round(headline["value"] / 20.0, 3),
@@ -413,20 +419,27 @@ def bench_trained_early_exit(ckpt_path=None, n_timed=5):
     audio_s = float(dec_len.sum()) * cfg.r * time_up * hp.hop_size \
         / hp.sample_rate
     walls = []
-    for _ in range(3):          # best-of-3, same policy as every metric
+    for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(n_timed):
             wav, _ = pipeline()
         np.asarray(wav[0, -4:])  # device-complete fence, tiny fetch
         walls.append((time.perf_counter() - t0) / n_timed)
-    wall = min(walls)
+    # HEADLINE row: median-of-3 (round-4 verdict weak #5 — min-of-N as the
+    # top-level value mistakes tunnel luck for progress); the full spread
+    # and the best run ride along for cross-round continuity.
+    wall = sorted(walls)[len(walls) // 2]
     out.update({
         "batch": len(SENTENCES),
         "decoded_steps": [int(n) for n in dec_len[:8]],
         "done_latched": bool(dec_len.max() < MAX_STEPS),
         "audio_seconds": round(audio_s, 2),
         "rtf": round(audio_s / wall, 2),
+        "rtf_spread": [round(audio_s / max(walls), 2),
+                       round(audio_s / min(walls), 2)],
+        "rtf_best": round(audio_s / min(walls), 2),
         "ms_per_batch_device": round(wall * 1000.0, 2),
+        "wall_ms_runs": [round(w * 1e3, 2) for w in walls],
     })
     if os.environ.get("DV3_BENCH_STREAMING", "1") != "0":
         out["streaming"] = bench_streaming(params, cfg, hp, ap)
@@ -493,7 +506,7 @@ def bench_streaming(params, cfg, hp, ap, n_timed=5):
 
 
 def bench_continuous_batching(params, cfg, hp, ap, n_req=8, n_slots=8,
-                              speaker_ids=None, repeats=2,
+                              speaker_ids=None, repeats=3,
                               stagger_s=0.05):
     """serve.py --slots capability row: n_req requests arrive STAGGERED
     (50 ms apart) and share one slot batch, each joining mid-stream at a
@@ -505,12 +518,14 @@ def bench_continuous_batching(params, cfg, hp, ap, n_req=8, n_slots=8,
     of each per slot). Correctness (admitted == fresh stream) is pinned
     by tests/test_serving.py.
 
-    The staggered experiment runs `repeats` times and reports the best
-    wall (all walls in wall_ms_runs): one full-bench run measured a 6.5x
-    outlier on this row from remote-compile-helper contention left over
-    by earlier bench sections — a retry on the warm engine is the honest
-    steady-state number. n_req > n_slots measures SUSTAINED load: slots
-    retire and re-admit from the waiting queue mid-experiment."""
+    The staggered experiment runs `repeats` times and reports the MEDIAN
+    wall (all walls in wall_ms_runs, best as aggregate_rtf_best): one
+    full-bench run measured a 6.5x outlier on this row from
+    remote-compile-helper contention left over by earlier bench sections
+    — the median on the warm engine is the honest steady-state number
+    (round-4 verdict weak #5 retired min-of-N at the top level). n_req >
+    n_slots measures SUSTAINED load: slots retire and re-admit from the
+    waiting queue mid-experiment."""
     import threading
 
     from deepvoice3_pytorch_tpu.frontend import en
@@ -566,7 +581,9 @@ def bench_continuous_batching(params, cfg, hp, ap, n_req=8, n_slots=8,
 
     runs = [experiment() for _ in range(repeats)]
     stop.set()
-    wall, results, phases = min(runs, key=lambda r: r[0])
+    runs_sorted = sorted(runs, key=lambda r: r[0])
+    wall, results, phases = runs_sorted[len(runs) // 2]   # median run
+    best_wall = runs_sorted[0][0]
     audio_s = sum(r[2] for r in results.values()) / hp.sample_rate
     return {
         "step_phase_ms": phases,
@@ -579,6 +596,10 @@ def bench_continuous_batching(params, cfg, hp, ap, n_req=8, n_slots=8,
         "wall_ms_runs": [round(w * 1e3, 1) for w, _, _ in runs],
         "audio_seconds": round(audio_s, 2),
         "aggregate_rtf": round(audio_s / wall, 2),
+        "aggregate_rtf_spread": [round(audio_s / max(w for w, _, _ in runs),
+                                       2),
+                                 round(audio_s / best_wall, 2)],
+        "aggregate_rtf_best": round(audio_s / best_wall, 2),
     }
 
 

@@ -20,6 +20,7 @@ norm over (in,kw); ConvTranspose1d (in,out,kw) -> per-IN norm over (out,kw).
 The axes above are the transposed equivalents for our layouts.
 """
 
+import contextvars
 import math
 import os
 from functools import partial
@@ -148,9 +149,22 @@ _DN = ("NWC", "WIO", "NWC")  # batch-time-channel activations, (kw,in,out) kerne
 # So: the default lowering is "xla", and the training step re-traces
 # its body under conv_lowering("tapsum") (trainer.py). Full table in
 # DESIGN.md §4.1. DV3_CONV1D_MODE / DV3_CONV1D_MODE_TRAIN override.
-CONV1D_MODE = os.environ.get("DV3_CONV1D_MODE", "xla")
+CONV1D_MODE_DEFAULT = os.environ.get("DV3_CONV1D_MODE", "xla")
 CONV1D_MODE_TRAIN = os.environ.get(
     "DV3_CONV1D_MODE_TRAIN", os.environ.get("DV3_CONV1D_MODE", "tapsum"))
+
+# ContextVar, not a module global: tracing can happen on several threads at
+# once (the serve worker lazily compiles new text-bucket programs while a
+# train_step retrace runs elsewhere), and contextvars give each thread its
+# own mode without any locking — a plain global would bake the train
+# lowering into a concurrently-traced inference program.
+_conv1d_mode = contextvars.ContextVar("dv3_conv1d_mode",
+                                      default=CONV1D_MODE_DEFAULT)
+
+
+def current_conv_mode():
+    """Conv1d lowering mode in effect for the current thread/context."""
+    return _conv1d_mode.get()
 
 
 class conv_lowering:
@@ -159,19 +173,17 @@ class conv_lowering:
     Use INSIDE a function being jitted (the body runs at trace time, so
     retraces re-enter the context): trainer.py wraps its loss/grad in
     `with conv_lowering(CONV1D_MODE_TRAIN):`. Runtime cost: zero — the
-    choice is baked into the traced HLO."""
+    choice is baked into the traced HLO. Exception-safe and per-thread
+    (ContextVar token reset)."""
 
     def __init__(self, mode):
         self.mode = mode
 
     def __enter__(self):
-        global CONV1D_MODE
-        self._saved = CONV1D_MODE
-        CONV1D_MODE = self.mode
+        self._token = _conv1d_mode.set(self.mode)
 
     def __exit__(self, *exc):
-        global CONV1D_MODE
-        CONV1D_MODE = self._saved
+        _conv1d_mode.reset(self._token)
 
 
 def conv1d_apply(p, x, *, dilation=1, padding="same", causal=False,
@@ -195,17 +207,18 @@ def conv1d_apply(p, x, *, dilation=1, padding="same", causal=False,
         pad = ((kw - 1) // 2 * dilation,) * 2
     else:
         pad = padding
-    if CONV1D_MODE != "xla":
+    mode = _conv1d_mode.get()
+    if mode != "xla":
         T = x.shape[1]
         xp = jnp.pad(x, ((0, 0), pad, (0, 0)))
         taps = [lax.slice_in_dim(xp, j * dilation, j * dilation + T, axis=1)
                 for j in range(kw)]
-        if CONV1D_MODE == "im2col":
+        if mode == "im2col":
             col = jnp.concatenate(taps, axis=-1)       # (B, T, kw*C)
             w2 = w.reshape(kw * w.shape[1], w.shape[2])
             return jnp.dot(col, w2, precision=precision,
                            preferred_element_type=x.dtype) + p["b"]
-        assert CONV1D_MODE == "tapsum", CONV1D_MODE
+        assert mode == "tapsum", mode
         y = jnp.dot(taps[0], w[0], precision=precision,
                     preferred_element_type=x.dtype)
         for j in range(1, kw):

@@ -436,10 +436,16 @@ class _EmitEngine:
     def _mask(self, idx_np):
         """Device membership mask for a slot-index set, memoized: a step
         re-dispatches the same groups every chunk, and each uncached mask
-        is a host->device transfer on the step path."""
-        key = idx_np.tobytes()
+        is a host->device transfer on the step path. The mask is
+        order-invariant, so the key is the SORTED index set — bounding the
+        cache at 2^S distinct subsets instead of one entry per index
+        ordering ever seen (long-lived engines with churning admissions
+        would otherwise leak device arrays)."""
+        key = np.sort(idx_np).tobytes()
         m = self._mask_cache.get(key)
         if m is None:
+            if len(self._mask_cache) >= 4096:   # hard bound for big S
+                self._mask_cache.clear()
             h = np.zeros((self.S,), bool)
             h[idx_np] = True
             m = self._mask_cache[key] = jnp.asarray(h)
@@ -616,8 +622,11 @@ class ContinuousBatcher:
         {phase: total_ms}, plus n_steps. decode/emit dispatch are async
         program launches; done_fetch and complete carry the two per-step
         device syncs (decode flags, raw-sample accumulator)."""
-        out = {k: round(v * 1e3, 1) for k, v in self._phase_s.items()}
-        out["n_steps"] = self._steps_run
+        with self._lock:   # step() mutates _phase_s under the same lock;
+            # snapshotting under it keeps the per-phase totals consistent
+            # with n_steps when stats() reads from the request thread.
+            out = {k: round(v * 1e3, 1) for k, v in self._phase_s.items()}
+            out["n_steps"] = self._steps_run
         return out
 
     # -- request side -------------------------------------------------------

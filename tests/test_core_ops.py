@@ -70,14 +70,10 @@ def test_conv1d_lowering_modes_equivalent(kw, dilation, causal):
     x = jnp.asarray(rs.randn(2, 40, 16).astype(np.float32))
 
     outs = {}
-    orig = core_mod.CONV1D_MODE
-    try:
-        for mode in ("xla", "tapsum", "im2col"):
-            core_mod.CONV1D_MODE = mode
+    for mode in ("xla", "tapsum", "im2col"):
+        with core_mod.conv_lowering(mode):
             outs[mode] = np.asarray(core_mod.conv1d_apply(
                 p, x, dilation=dilation, causal=causal))
-    finally:
-        core_mod.CONV1D_MODE = orig
     np.testing.assert_allclose(outs["tapsum"], outs["xla"], atol=2e-5)
     np.testing.assert_allclose(outs["im2col"], outs["xla"], atol=2e-5)
 
@@ -106,13 +102,13 @@ def test_conv_lowering_is_context_dependent():
         with core_mod.conv_lowering("tapsum"):
             return core_mod.conv1d_apply(p, x)
 
-    assert core_mod.CONV1D_MODE == "xla"  # inference default
+    assert core_mod.current_conv_mode() == "xla"  # inference default
     assert core_mod.CONV1D_MODE_TRAIN == "tapsum"  # train default
     hlo_default = jax.jit(f_default).lower(p, x).as_text()
     hlo_train = jax.jit(f_train).lower(p, x).as_text()
     assert "convolution" in hlo_default
     assert "convolution" not in hlo_train
-    assert core_mod.CONV1D_MODE == "xla"  # context restored after trace
+    assert core_mod.current_conv_mode() == "xla"  # context restored
     np.testing.assert_allclose(np.asarray(f_train(p, x)),
                                np.asarray(f_default(p, x)), atol=2e-5)
 
