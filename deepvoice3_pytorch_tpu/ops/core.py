@@ -167,6 +167,38 @@ def current_conv_mode():
     return _conv1d_mode.get()
 
 
+class strict_numerics:
+    """Strict-parity trace context (round-4 verdict #2, north-star
+    "bit-matching mel vs PyTorch CPU" — BASELINE.json).
+
+    Composes the two numerics knobs that matter on TPU:
+      * jax.default_matmul_precision("highest") — full-f32 MXU passes
+        instead of the default bf16x3 decomposition (the dominant error
+        term on TPU: ~1e-3 relative at these channel widths without it);
+      * conv_lowering("tapsum") — kw explicit shifted GEMMs, the lowering
+        whose tap-summation order matches torch's unfold-accumulate
+        (measured the tightest of the three against torch CPU:
+        whole-model linear 7.7e-7 vs 1.3e-6 for XLA's conv emitter,
+        tools/strict_parity_probe.py).
+
+    What remains inside this context is the irreducible cross-backend
+    floor, measured ~1e-6 whole-model (DESIGN.md §8): GEMM reduction
+    order (Eigen/MKL vs MXU tiling, ~1 ulp per dot) and transcendental
+    implementations (exp/sigmoid/erf differ by ~1 ulp between torch CPU
+    and XLA). tests/test_model_parity.py pins <=1e-5 under this context.
+    """
+
+    def __enter__(self):
+        self._mm = jax.default_matmul_precision("highest")
+        self._mm.__enter__()
+        self._conv = conv_lowering("tapsum")
+        self._conv.__enter__()
+
+    def __exit__(self, *exc):
+        self._conv.__exit__(*exc)
+        self._mm.__exit__(*exc)
+
+
 class conv_lowering:
     """Trace-time selector for the conv1d lowering mode.
 

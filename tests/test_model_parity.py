@@ -12,6 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from deepvoice3_pytorch_tpu import builder as jx_builder
+from deepvoice3_pytorch_tpu.ops.core import strict_numerics
 from deepvoice3_pytorch_tpu.utils.torch_import import import_state_dict
 
 from reference_util import import_reference
@@ -19,7 +20,12 @@ from reference_util import import_reference
 import_reference()
 from deepvoice3_pytorch import builder as ref_builder  # noqa: E402
 
-ATOL = 2e-4  # accumulated over ~20 conv layers; per-op error is <1e-6
+# Strict-parity bound (round-4 verdict #2): whole-model forward under
+# strict_numerics() must match torch CPU to 1e-5. The measured floor is
+# ~1.3e-6 (linear output, 20 weight-normed conv layers deep — error budget
+# in DESIGN.md §8), so this carries ~8x headroom for backend/version skew
+# while sitting 20x below the old 2e-4 bound it replaces.
+ATOL = 1e-5
 
 
 def _state_dict_np(model):
@@ -78,11 +84,12 @@ def test_deepvoice3_forward_parity(builder_name, n_speakers):
             if spk is not None else None
         lin_t = ref.postnet(postnet_in, spk_embed)
 
-    mel_j, lin_j, align_j, done_j = jx_builder.model_forward(
-        params, cfg, jnp.asarray(x), jnp.asarray(mel),
-        speaker_ids=jnp.asarray(spk) if spk is not None else None,
-        text_positions=jnp.asarray(tp), frame_positions=jnp.asarray(fp),
-        input_lengths=jnp.asarray(lengths))
+    with strict_numerics():
+        mel_j, lin_j, align_j, done_j = jx_builder.model_forward(
+            params, cfg, jnp.asarray(x), jnp.asarray(mel),
+            speaker_ids=jnp.asarray(spk) if spk is not None else None,
+            text_positions=jnp.asarray(tp), frame_positions=jnp.asarray(fp),
+            input_lengths=jnp.asarray(lengths))
 
     np.testing.assert_allclose(np.asarray(mel_j), mel_t.numpy(), atol=ATOL)
     np.testing.assert_allclose(np.asarray(done_j), done_t.numpy(), atol=ATOL)
@@ -115,10 +122,11 @@ def test_nyanko_forward_parity():
         mel_t = mel_t.reshape(B, -1, 80)
         lin_t = ref.postnet(mel_t, None)
 
-    mel_j, lin_j, align_j, done_j = jx_builder.model_forward(
-        params, cfg, jnp.asarray(x), jnp.asarray(mel),
-        text_positions=jnp.asarray(tp), frame_positions=jnp.asarray(fp),
-        input_lengths=jnp.asarray(lengths))
+    with strict_numerics():
+        mel_j, lin_j, align_j, done_j = jx_builder.model_forward(
+            params, cfg, jnp.asarray(x), jnp.asarray(mel),
+            text_positions=jnp.asarray(tp), frame_positions=jnp.asarray(fp),
+            input_lengths=jnp.asarray(lengths))
 
     np.testing.assert_allclose(np.asarray(mel_j), mel_t.numpy(), atol=ATOL)
     np.testing.assert_allclose(np.asarray(done_j), done_t.numpy(), atol=ATOL)
@@ -197,9 +205,11 @@ def test_incremental_decode_parity_vs_reference():
     T_ref = out_t.shape[1]
 
     fam = cfg.family
-    enc_j = fam.encoder_apply(params["encoder"], cfg.encoder, jnp.asarray(x))
-    on = fam.decoder_decode(params["decoder"], cfg.decoder, enc_j,
-                            jnp.asarray(tp), max_decoder_steps=max_steps)
+    with strict_numerics():
+        enc_j = fam.encoder_apply(params["encoder"], cfg.encoder,
+                                  jnp.asarray(x))
+        on = fam.decoder_decode(params["decoder"], cfg.decoder, enc_j,
+                                jnp.asarray(tp), max_decoder_steps=max_steps)
     n = int(on.lengths[0])
     # decoded length must agree with the reference (±1: the reference loop
     # breaks AFTER emitting the done-crossing frame, deepvoice3.py:469-473)
@@ -236,9 +246,11 @@ def test_incremental_decode_parity_batched_vs_reference():
     ref.seq2seq.decoder.max_decoder_steps = max_steps
 
     fam = cfg.family
-    enc_j = fam.encoder_apply(params["encoder"], cfg.encoder, jnp.asarray(x))
-    on = fam.decoder_decode(params["decoder"], cfg.decoder, enc_j,
-                            jnp.asarray(tp), max_decoder_steps=max_steps)
+    with strict_numerics():
+        enc_j = fam.encoder_apply(params["encoder"], cfg.encoder,
+                                  jnp.asarray(x))
+        on = fam.decoder_decode(params["decoder"], cfg.decoder, enc_j,
+                                jnp.asarray(tp), max_decoder_steps=max_steps)
 
     for i in range(B):
         with torch.no_grad():
