@@ -71,6 +71,14 @@ class AudioProcessor:
         # default — measured >= LWS quality at equal iterations) or "lws"
         # (on-device local weighted sums, dsp/lws_phase.py).
         self.phase_retrieval = getattr(hp, "phase_retrieval", "gl")
+        if self.phase_retrieval == "lws" and self.fft_size % self.hop_size:
+            # fail at construction, not deep in the first inversion:
+            # the LWS local operator only exists for hop | fft
+            # (dsp/lws_phase.py) — GL handles any hop.
+            raise ValueError(
+                "phase_retrieval='lws' requires hop_size to divide "
+                "fft_size (got fft_size=%d hop_size=%d); use the default "
+                "'gl'" % (self.fft_size, self.hop_size))
 
         # host-side constants; device copies + jitted pipelines are built
         # lazily so CPU-only users (native-DSP preprocessing) never touch

@@ -104,10 +104,15 @@ def vmem_bytes_estimate(n, fft_size, hop, n_bins, with_init=False,
 
 
 def fits_vmem(n, fft_size, hop, n_bins, **kw):
-    """True when the kernel's working set fits this device's VMEM budget.
-    Callers fall back to the XLA-scan griffin_lim when it doesn't (the
-    reference never hard-fails by device generation — audio.py:37-43
-    runs anywhere)."""
+    """True when the whole-retrieval kernel can run this configuration on
+    this device: the working set fits the VMEM budget AND hop divides
+    fft_size (the kernel's framing/OLA are (k, hop)-block reshapes —
+    non-divisible hops, e.g. a 16 kHz fft1024/hop240 corpus, take the
+    XLA-scan griffin_lim, whose gather framing handles any hop). Callers
+    fall back to XLA GL when False (the reference never hard-fails by
+    device generation — audio.py:37-43 runs anywhere)."""
+    if fft_size % hop != 0:
+        return False
     return vmem_bytes_estimate(n, fft_size, hop, n_bins, **kw) \
         <= _device_vmem_budget()
 

@@ -68,6 +68,17 @@ def lws_run(mag, fft_size, hop, window_np, *, n_iters=60, momentum=0.9,
     mag is in the frame-relative half-spectrum layout of dsp.stft().
     window_np: the (host, float) analysis window used by the STFT.
     center selects only the final trim (like dsp.griffin_lim)."""
+    if fft_size % hop != 0:
+        # The twisted-convolution structure (kernel indexed by frame mod
+        # k, lift factor periodic in (m*n) mod k) exists only when
+        # hop | fft_size; for other hops the consistency operator's
+        # period is fft_size/gcd(fft_size, hop) frames and this local
+        # truncation is silently wrong. Momentum Griffin-Lim (the
+        # default phase_retrieval) handles any hop.
+        raise ValueError(
+            "lws phase retrieval requires hop to divide fft_size "
+            "(got fft=%d hop=%d); use phase_retrieval='gl'"
+            % (fft_size, hop))
     if mats is None:
         mats = tuple(jnp.asarray(m) for m in dsp.dft_mats(fft_size))
     window_np = np.asarray(window_np, np.float64)

@@ -39,6 +39,25 @@ class HP:
     power = 1.4
 
 
+class HP16:
+    """Second audio config (round-4 verdict #7): 16 kHz with hop 240 —
+    fft_size % hop != 0, exercising the gather framing path
+    (dsp/stft.py:_frame generic branch), the scatter overlap-add fallback
+    (_overlap_add), and the COLA window normalization at a non-divisible
+    fft/hop ratio (lws_hann_window). The reference runs at any hparams
+    combination lws accepts (reference audio.py:31-55)."""
+    sample_rate = 16000
+    fft_size = 1024
+    hop_size = 240          # 15 ms at 16 kHz; 1024 % 240 == 64
+    num_mels = 80
+    fmin = 125
+    fmax = 7600
+    preemphasis = 0.97
+    min_level_db = -100
+    ref_level_db = 20
+    power = 1.4
+
+
 def golden_signal(T=22050 + 131, sr=22050):
     rng = np.random.RandomState(1234)
     t = np.arange(T) / sr
@@ -50,22 +69,27 @@ def golden_signal(T=22050 + 131, sr=22050):
     return (0.5 * x / np.abs(x).max()).astype(np.float32)
 
 
-def main():
-    out_dir = os.path.join(os.path.dirname(__file__), "..", "tests", "data")
-    os.makedirs(out_dir, exist_ok=True)
-    hp = HP()
-    wav = golden_signal()
+def _write_set(out_dir, prefix, hp, wav):
     linear = ref.spectrogram(wav, hp).astype(np.float32)   # (513, F)
     mel = ref.melspectrogram(wav, hp).astype(np.float32)   # (80, F)
     mel_fb = ref.mel_filterbank(hp.sample_rate, hp.fft_size, hp.num_mels,
                                 hp.fmin, hp.fmax).astype(np.float32)
     win = ref.analysis_window(hp.fft_size, hp.hop_size).astype(np.float32)
-
     for name, arr in [("wav", wav), ("linear", linear), ("mel", mel),
                       ("melfb", mel_fb), ("window", win)]:
-        path = os.path.join(out_dir, "dsp_golden_%s.npy" % name)
+        path = os.path.join(out_dir, "%s_%s.npy" % (prefix, name))
         np.save(path, arr, allow_pickle=False)
         print("wrote %s %s" % (path, arr.shape))
+
+
+def main():
+    out_dir = os.path.join(os.path.dirname(__file__), "..", "tests", "data")
+    os.makedirs(out_dir, exist_ok=True)
+    _write_set(out_dir, "dsp_golden", HP(), golden_signal())
+    # 16 kHz / hop 240 set: signal length chosen so hop does not divide T
+    # here either (16000 + 131 = 16131; 16131 % 240 = 51)
+    _write_set(out_dir, "dsp_golden16k", HP16(),
+               golden_signal(T=16000 + 131, sr=16000))
 
 
 if __name__ == "__main__":
