@@ -101,14 +101,19 @@ def make_sentences(n, seed=0, min_words=3, max_words=9):
     return out
 
 
-def build_items(texts, hp, ap, frontend_mod, p=0.0, speaker_ids=None):
+def build_items(texts, hp, ap, frontend_mod, p=0.0, speaker_ids=None,
+                voice_ids=None):
     """[{'text': int32 seq, 'mel': (T,80), 'linear': (T,513)}] via the
     production feature pipeline (AudioProcessor.batch_features). With
     speaker_ids (parallel to texts), items carry 'speaker_id' and the
-    audio is speaker-conditioned (speaker_scale)."""
+    audio is speaker-conditioned (speaker_scale). voice_ids, when given,
+    decouples the RENDERED voice from the model's speaker slot — the
+    speaker-adaptation scenario (reference README.md:317: a new voice's
+    data assigned to an existing slot via --speaker-id)."""
     wavs = [synth_wav(t, hp.sample_rate, hp.hop_size,
-                      speaker_id=None if speaker_ids is None
-                      else speaker_ids[i])
+                      speaker_id=(voice_ids[i] if voice_ids is not None
+                                  else None if speaker_ids is None
+                                  else speaker_ids[i]))
             for i, t in enumerate(texts)]
     feats = ap.batch_features(wavs)
     items = []
