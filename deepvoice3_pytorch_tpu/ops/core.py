@@ -296,12 +296,28 @@ def conv_transpose1d_apply(p, x, *, stride=2, precision=None):
 # ---------------------------------------------------------------------------
 
 
+# Dropout mask generation. "bits16" draws uint16 random bits and
+# integer-compares against round(keep * 2^16) — a quarter of the
+# generated bits and no int->float conversion. MEASURED NEGATIVE on v5e
+# (tools/dropout_bits_probe.py, full b64 bf16 train step): 20.01 ms vs
+# bernoulli's 19.39 — rbg emits 32-bit blocks either way, so the u16
+# narrowing adds reshuffle work instead of removing generation, and the
+# integer compare breaks the mask out of the f32 fusion the bernoulli
+# path rides. Ships opt-in (DV3_DROPOUT_IMPL=bits16) as the recorded
+# negative probe; default stays the measured-faster bernoulli.
+DROPOUT_IMPL = os.environ.get("DV3_DROPOUT_IMPL", "bernoulli")
+
+
 def dropout(rng, x, rate, *, training):
     """Inverted dropout matching F.dropout train-time semantics."""
     if not training or rate <= 0.0:
         return x
     keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, p=keep, shape=x.shape)
+    if DROPOUT_IMPL == "bits16":
+        thresh = jnp.uint16(min(int(round(keep * 65536.0)), 65535))
+        mask = jax.random.bits(rng, x.shape, jnp.uint16) < thresh
+    else:
+        mask = jax.random.bernoulli(rng, p=keep, shape=x.shape)
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 

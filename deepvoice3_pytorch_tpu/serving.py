@@ -616,6 +616,11 @@ class ContinuousBatcher:
                          "emit_dispatch": 0.0, "done_fetch": 0.0,
                          "complete": 0.0, "retire": 0.0}
         self._steps_run = 0
+        # optional per-step log for gap attribution (tools/cb_gap_probe.py):
+        # (wall_s, n_active, n_admitted, n_conv_groups, n_gl_launches,
+        #  n_retired) per step() when step_log is a list
+        self.step_log = None
+        self._last_emit_counts = (0, 0)
 
     def timing(self):
         """Cumulative host wall-clock per step() phase since construction:
@@ -813,6 +818,7 @@ class ContinuousBatcher:
             sig = self.emit.conv_sig(slot)
             conv_groups.setdefault(sig, []).append(b)
         jobs = []
+        n_gl = 0
         for sig, idx in conv_groups.items():
             # full-width launch: program identity is the signature alone
             lin = self.emit._conv_prog(sig)(
@@ -828,7 +834,9 @@ class ContinuousBatcher:
                 slots_np = np.asarray(slots, np.int32)
                 had_tail = gsig[0] > 0
                 raw = self.emit.dispatch_gl(gsig, slots_np, lin)
+                n_gl += 1
                 jobs.append((slots_np, raw, had_tail, gsig, n_new))
+        self._last_emit_counts = (len(conv_groups), n_gl)
         return jobs
 
     def _complete_jobs(self, jobs, raw_host):
@@ -909,6 +917,7 @@ class ContinuousBatcher:
         slots BEFORE retirement (0 = nothing to do)."""
         with self._lock:
             t0 = time.perf_counter()
+            n_admitted = 0
             for b in range(self.n_slots):
                 if self._slots[b] is None and not self._waiting.empty():
                     try:
@@ -916,6 +925,7 @@ class ContinuousBatcher:
                     except queue.Empty:
                         break
                     self._admit(b, seq, sid, out_q)
+                    n_admitted += 1
             active = [b for b in range(self.n_slots)
                       if self._slots[b] is not None]
             if not active:
@@ -990,6 +1000,11 @@ class ContinuousBatcher:
             for b, n_dec in retires:
                 self._finish_slot(b, n_dec)
             self._phase_s["retire"] += time.perf_counter() - t6
+            if self.step_log is not None:
+                self.step_log.append(
+                    (time.perf_counter() - t0, len(active), n_admitted,
+                     self._last_emit_counts[0], self._last_emit_counts[1],
+                     len(retires)))
             return len(active)
 
     def _fail_all(self, exc):
