@@ -109,6 +109,10 @@ def _flat_summary(headline, extras):
     put("cb_sustained_rtf", "trained_early_exit", "streaming",
         "cb_sustained", "aggregate_rtf")
     put("cb_multispeaker_rtf", "cb_multispeaker", "aggregate_rtf")
+    put("soak_rtf", "trained_early_exit", "streaming", "serving_soak",
+        "aggregate_rtf")
+    put("soak_ttfa_p95_ms", "trained_early_exit", "streaming",
+        "serving_soak", "ttfa_under_load_ms", "p95")
     return s
 
 
@@ -502,7 +506,101 @@ def bench_streaming(params, cfg, hp, ap, n_timed=5):
         # steady-state serving configuration (stagger amortized away)
         out["cb_sustained"] = bench_continuous_batching(
             params, cfg, hp, ap, n_req=24, n_slots=8)
+    if os.environ.get("DV3_BENCH_SOAK", "1") != "0":
+        out["serving_soak"] = bench_serving_soak(params, cfg, hp, ap)
     return out
+
+
+def bench_serving_soak(params, cfg, hp, ap, n_slots=8, workers=8):
+    """Sustained-serving soak through serve.py --slots (round-4 verdict
+    #8): N-hundred HTTP requests in a closed loop against the in-process
+    server, reporting /stats TTFA p50/p95 under load, aggregate streamed
+    RTF over the whole soak, RSS growth, and compiled-program-cache
+    stability (tests/test_serving_soak.py pins the leak-freedom
+    assertions on tiny shapes; this row measures the real model)."""
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    import serve as serve_mod
+    from deepvoice3_pytorch_tpu.frontend import en
+
+    def rss_mb():
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1024.0
+        return float("nan")
+
+    n_req = int(os.environ.get("DV3_BENCH_SOAK_REQS", "200"))
+    engine = serve_mod.TTSEngine(params, cfg, ap, en,
+                                 max_decoder_steps=200, slots=n_slots,
+                                 text_pad=64)
+    server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                 serve_mod.make_handler(engine))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        import queue as queue_mod
+
+        jobs = queue_mod.Queue()
+        for i in range(n_req):
+            jobs.put(i)
+        failures = []
+
+        def fetch(i):
+            text = SENTENCES[i % len(SENTENCES)].replace(" ", "%20")
+            with urllib.request.urlopen(
+                    "http://127.0.0.1:%d/tts?text=%s" % (port, text),
+                    timeout=600) as r:
+                body = r.read()
+            if body[:4] != b"RIFF":
+                raise RuntimeError("bad WAV")
+
+        def worker():
+            while True:
+                try:
+                    i = jobs.get_nowait()
+                except queue_mod.Empty:
+                    return
+                try:
+                    fetch(i)
+                except Exception as e:
+                    failures.append((i, repr(e)))
+
+        fetch(0)                          # warmup: compiles all programs
+        engine._ttfa_ms.clear()           # drop the warmup's compile TTFA
+        rss0 = rss_mb()
+        progs0 = len(engine.batcher.emit._progs)
+        t0 = time.perf_counter()
+        th = [threading.Thread(target=worker) for _ in range(workers)]
+        for t in th:
+            t.start()
+        for t in th:
+            t.join()
+        wall = time.perf_counter() - t0
+        stats = engine.stats()
+        # audio seconds excluding the warmup request's share
+        audio_s = stats["audio_seconds_total"] \
+            * n_req / max(1, stats["requests_total"])
+        return {
+            "n_requests": n_req,
+            "n_slots": n_slots,
+            "closed_loop_workers": workers,
+            "failures": len(failures),
+            "wall_s": round(wall, 2),
+            "requests_per_s": round(n_req / wall, 2),
+            "aggregate_rtf": round(audio_s / wall, 2),
+            "ttfa_under_load_ms": stats.get("ttfa_ms"),
+            "rss_growth_mb": round(rss_mb() - rss0, 1),
+            "prog_cache_growth": len(engine.batcher.emit._progs) - progs0,
+            "backlog_after": engine.batcher.waiting(),
+            "active_slots_after": engine.batcher.active_slots(),
+            "audio_seconds": round(audio_s, 2),
+        }
+    finally:
+        engine.shutdown()
+        server.shutdown()
 
 
 def bench_continuous_batching(params, cfg, hp, ap, n_req=8, n_slots=8,

@@ -25,3 +25,9 @@ except Exception:  # pragma: no cover - older jax fallback
     pass
 
 assert jax.devices()[0].platform == "cpu"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running soak/e2e tests (still run by "
+                   "default; deselect with -m 'not slow')")

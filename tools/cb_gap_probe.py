@@ -119,12 +119,16 @@ def main():
     # warmup: compiles every signature in the ramp
     run_requests(b, 1, 0.0)
 
-    # bare device round trip (tiny blocking fetch of a compiled add)
-    one = jax.jit(lambda x: x + 1)(jnp.zeros((8,), jnp.float32))
+    # bare device round trip (tiny blocking fetch of a compiled add).
+    # NB: the jitted fn must be hoisted out of the loop — rebuilding
+    # jax.jit(lambda ...) each pass would retrace and measure tracing,
+    # not dispatch.
+    add_one = jax.jit(lambda x: x + 1)
+    one = add_one(jnp.zeros((8,), jnp.float32))
     np.asarray(one)
     t0 = time.perf_counter()
     for _ in range(20):
-        one = jax.jit(lambda x: x + 1)(one)
+        one = add_one(one)
         np.asarray(one)
     rtt_ms = (time.perf_counter() - t0) / 20 * 1e3
     print("bare dispatch+fetch round trip: %.2f ms" % rtt_ms)
