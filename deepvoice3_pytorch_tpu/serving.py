@@ -25,12 +25,17 @@ Downstream of the decoder the post-decode stages are GROUPED ACROSS
 SLOTS: every active slot advances by the same decode chunk, so slots at
 the same emission phase share identical converter-window and
 Griffin-Lim-window shapes. Each step() groups active slots by that
-static shape signature and runs ONE converter program and ONE vocoder
-program per group — in steady state all slots share one signature, so a
-step is 4 device programs total (decode kernel, history roll, converter,
-GL) regardless of slot count, instead of 2 + 2*n_slots batch-1 launches
-(the round-3 bottleneck: aggregate RTF 8.5x vs 73.6x for synchronized
-streams).
+static shape signature and runs ONE fused converter+vocoder program per
+group — in steady state all slots share one signature, so a step is TWO
+device programs total regardless of slot count: (1) decode kernel with
+the history roll and local-position advance fused in, (2) converter +
+windowed GL + done-flag packing fused together, followed by a single
+blocking fetch. The step is dispatch-bound, not compute-bound: each
+program launch costs ~12 ms of serial host time and a blocking fetch
+~28 ms through the dev tunnel (tools/cb_gap_probe.py), so launch COUNT
+is the budget. Round 3 ran 2 + 2*n_slots batch-1 launches (aggregate
+RTF 8.5x), round 4 grouped them into 4-5 full-width launches (34-48x),
+and the fused two-launch step is what remains.
 
 Every grouped program runs at the FULL slot-batch width S and restricts
 its state updates with a runtime (S,) membership mask — group
@@ -70,18 +75,8 @@ from . import streaming
 
 
 @jax.jit
-def _pack_done_raw(d, raw_buf):
-    """Ride the step's done flags in the same device->host transfer as
-    the raw-sample accumulator: one blocking sync per step instead of
-    two (each round trip measured ~27 ms through the dev tunnel)."""
-    S = raw_buf.shape[0]
-    return jnp.concatenate(
-        [d.reshape(S, -1).astype(jnp.float32), raw_buf], axis=1)
-
-
-@jax.jit
-def _admit_scatter(arrays, carry, ctx_scale, spk, b, kv_row, mask_row,
-                   wq_row, sp_row, scale_val, spk_val):
+def _admit_scatter(arrays, carry, ctx_scale, spk, local, b, kv_row,
+                   mask_row, wq_row, sp_row, scale_val, spk_val):
     """ONE program for every per-slot admission write: scatter the new
     utterance's K/V, mask, rates and biases into row `b` of the slot
     arrays and zero the slot's decode carry. The slot index is DATA (a
@@ -106,7 +101,8 @@ def _admit_scatter(arrays, carry, ctx_scale, spk, b, kv_row, mask_row,
     ctx_scale = ctx_scale.at[b].set(scale_val)
     if spk is not None:
         spk = spk.at[b].set(spk_val)
-    return [kv, mask, wq, sp], (prev, la, bufs), ctx_scale, spk
+    local = local.at[b].set(0)
+    return [kv, mask, wq, sp], (prev, la, bufs), ctx_scale, spk, local
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -127,10 +123,11 @@ def _admit_prog(params, cfg, x, pos, length, spk):
     return fi["projected_kv"], mask, fi["w_query"], fi["speaker_bias"]
 
 
-@partial(jax.jit, static_argnames=("cfg", "steps", "fpe_raw", "interpret"))
+@partial(jax.jit, static_argnames=("cfg", "steps", "fpe_raw", "interpret",
+                                   "use_state"))
 def _slot_chunk_prog(params, cfg, projected_kv, mask, wq, speaker_bias,
-                     ctx_scale, fpe_table, local_steps, prev, la, bufs, *,
-                     steps, fpe_raw, interpret):
+                     ctx_scale, fpe_table, local_steps, prev, la, bufs,
+                     hist, *, steps, fpe_raw, interpret, use_state):
     """One `steps`-frame launch over the slot batch, every slot at its own
     local position: gather each slot's position rows from the table
     (clamped like the scan path's jnp.take) and run the kernel in
@@ -139,7 +136,15 @@ def _slot_chunk_prog(params, cfg, projected_kv, mask, wq, speaker_bias,
     the gathered rows are used directly. ctx_scale keeps each slot's
     attention context scale frozen at its admission text bucket (the
     reference scales by sqrt(padded memory length), so a text-dimension
-    growth must not change an active slot's decode)."""
+    growth must not change an active slot's decode).
+
+    The post-decode history roll and the per-slot local-step counters are
+    FUSED into this program: each extra program launch costs ~12 ms of
+    serial host time through the dev tunnel (tools/cb_gap_probe.py), so
+    the step keeps its launch count minimal — this program returns the
+    done flags, the rolled converter-history window, the advanced local
+    counters and the decode carry in one dispatch, and the host never
+    uploads the (S,) local positions again."""
     prep = fd._Prepared(params, cfg, projected_kv, mask, w_query=wq,
                         speaker_bias=speaker_bias, fpe_raw=fpe_raw,
                         fpe_per_sample=True, ctx_scale=ctx_scale)
@@ -147,7 +152,20 @@ def _slot_chunk_prog(params, cfg, projected_kv, mask, wq, speaker_bias,
                                             dtype=jnp.int32)[None, :]
     pos = jnp.clip(pos, 0, fpe_table.shape[0] - 1)
     fpe_rows = jnp.take(fpe_table, pos, axis=0)        # (S, steps, C)
-    return prep.launch(fpe_rows, prev, la, bufs, steps, interpret)
+    (o, a, d, s), carry = prep.launch(fpe_rows, prev, la, bufs, steps,
+                                      interpret)
+    pin = s if use_state else o
+    S, H, D = hist.shape
+    pin = pin.reshape(S, -1, D)                        # (S, steps*r, D)
+    n = pin.shape[1]
+    if n >= H:
+        hist = pin[:, -H:]
+    else:
+        hist = jnp.concatenate([hist[:, n:], pin], axis=1)
+    # retired-but-unreused slots keep counting garbage; cap far above any
+    # real decode so the int32 can never wrap (admission resets to 0)
+    local_steps = jnp.minimum(local_steps + steps, 1 << 30)
+    return d, hist, local_steps, carry
 
 
 class _Slot:
@@ -264,21 +282,6 @@ class _EmitEngine:
             fn = self._progs[key] = builder()
         return fn
 
-    def roll_hist(self, pin):
-        """ONE program for the whole slot batch: append this step's
-        `pin` (S, n, D) postnet-input frames, keep the last H."""
-        n = pin.shape[1]
-
-        def build():
-            @jax.jit
-            def prog(hist, pin):
-                if n >= self.H:
-                    return pin[:, -self.H:]
-                return jnp.concatenate([hist[:, n:], pin], axis=1)
-            return prog
-
-        self.hist = self._prog(("roll", n), build)(self.hist, pin)
-
     def conv_sig(self, slot):
         """Static converter-window signature for this slot's pending
         emission [e_m, emit_to): (window length, emit offsets) — the
@@ -291,30 +294,35 @@ class _EmitEngine:
         ws = M - Wb
         return (Wb, e_m - ws, emit_to - ws)
 
-    def _conv_prog(self, sig):
-        """Full-width converter: ALL S slot rows through the group's
-        window slice (rows outside the group compute garbage that the
-        masked GL stage never commits)."""
-        Wb, o0, o1 = sig
-        up = self.up
+    def _conv_body(self, conv_sig):
+        """Full-width converter as a PURE function to trace inside the
+        vocoder programs: ALL S slot rows through the group's window
+        slice (rows outside the group compute garbage that the masked GL
+        stage never commits). Fused into the GL/absorb programs rather
+        than launched on its own — each separate launch costs ~12 ms of
+        serial host dispatch through the dev tunnel (cb_gap_probe), while
+        recomputing the full-width converter per phase group costs only
+        device FLOPs the step has to spare."""
+        from .builder import model_postnet
 
-        def build():
-            from .builder import model_postnet
+        Wb, o0, o1 = conv_sig
+        up, H = self.up, self.H
 
-            @partial(jax.jit, static_argnames=("cfg",))
-            def prog(params, cfg, hist, spk):
-                window = hist[:, self.H - Wb:]
-                lin = model_postnet(params, cfg, window, speaker_ids=spk)
-                return lax.slice_in_dim(lin, o0 * up, o1 * up, axis=1)
-            return prog
-        return self._prog(("conv",) + sig, build)
+        def body(params, cfg, hist, spk):
+            window = hist[:, H - Wb:]
+            lin = model_postnet(params, cfg, window, speaker_ids=spk)
+            return lax.slice_in_dim(lin, o0 * up, o1 * up, axis=1)
+        return body
 
-    def _absorb_prog(self, n_pend, n_new):
+    def _absorb_prog(self, n_pend, n_new, conv=None):
+        """Emission absorbed into the lookahead (no GL): with `conv`, the
+        converter window is computed in the same program."""
         GLA = self.GLA
 
         def build():
-            @jax.jit
-            def prog(pend, mask, lin_new):
+            conv_body = None if conv is None else self._conv_body(conv)
+
+            def absorb(pend, mask, lin_new):
                 if n_pend:
                     frames = jnp.concatenate(
                         [pend[:, GLA - n_pend:], lin_new], axis=1)
@@ -326,10 +334,17 @@ class _EmitEngine:
                                   jnp.float32)
                     frames = jnp.concatenate([z, frames], axis=1)
                 return jnp.where(mask[:, None, None], frames, pend)
-            return prog
-        return self._prog(("absorb", n_pend, n_new), build)
 
-    def _gl_prog(self, sig, row=False):
+            if conv is None:
+                return jax.jit(absorb)
+
+            @partial(jax.jit, static_argnames=("cfg",))
+            def prog(params, cfg, pend, mask, hist, spk):
+                return absorb(pend, mask, conv_body(params, cfg, hist, spk))
+            return prog
+        return self._prog(("absorb", n_pend, n_new, conv), build)
+
+    def _gl_prog(self, sig, row=False, conv=None):
         """(n_ctx, n_pend, n_new, keep_lookahead) -> jitted program:
         vocode ONE batched window over ALL S slot rows, merge the updated
         tails under the (S,) membership mask, return the raw
@@ -342,7 +357,20 @@ class _EmitEngine:
         emissions are fetched immediately and can be wide (the lookahead
         flush), so shrinking the transfer S-fold is the whole point
         (measured: the retire phase was the largest term in the
-        continuous-batching step budget, ~40%)."""
+        continuous-batching step budget, ~40%).
+
+        conv=(Wb, o0, o1): the group's converter window is computed IN
+        this program from the rolled history instead of as a separate
+        launch (dispatch-bound step: ~12 ms serial host cost per launch).
+        Every conv-fused program also takes the chunk's done flags and
+        returns them concatenated with the merged raw accumulator, so the
+        step's single blocking fetch carries both — the host uses the
+        LAST buffered group's packed output and discards the others.
+        Packing unconditionally keeps program identity = signature alone:
+        a pack-only-when-last variant made the ramp's group count leak
+        into program keys, and staggered arrivals then compiled fresh
+        pack=False twins of every warmup signature (measured: two ~2 s
+        compile stalls mid-ramp, aggregate RTF 15x vs 54x)."""
         n_ctx, n_pend, n_new, keep_la = sig
         GC, GLA, F = self.GC, self.GLA, self.F
         hop, xfade = self.hop, self.xfade
@@ -357,9 +385,10 @@ class _EmitEngine:
         m_max = self.m_max
 
         def build():
-            @jax.jit
-            def prog(raw_buf, lin_tail, prev_re, prev_im, pend, mask,
-                     lin_new, power, mats):
+            conv_body = None if conv is None else self._conv_body(conv)
+
+            def gl_body(raw_buf, lin_tail, prev_re, prev_im, pend, mask,
+                        lin_new, power, mats):
                 parts = []
                 if n_pend:
                     parts.append(pend[:, GLA - n_pend:])
@@ -428,8 +457,25 @@ class _EmitEngine:
                         raw = jnp.concatenate([z, raw], axis=1)
                     raw = jnp.where(mask[:, None], raw, raw_buf)
                 return raw, lin_tail, prev_re, prev_im, pend
+
+            if conv is None:
+                return jax.jit(gl_body)
+
+            @partial(jax.jit, static_argnames=("cfg",))
+            def prog(params, cfg, raw_buf, lin_tail, prev_re, prev_im,
+                     pend, mask, hist, spk, power, mats, d):
+                lin_new = conv_body(params, cfg, hist, spk)
+                out = gl_body(raw_buf, lin_tail, prev_re, prev_im, pend,
+                              mask, lin_new, power, mats)
+                if row:
+                    return out
+                raw = out[0]
+                packed = jnp.concatenate(
+                    [d.reshape(raw.shape[0], -1).astype(jnp.float32), raw],
+                    axis=1)
+                return (raw, packed) + out[1:]
             return prog
-        return self._prog(("gl", row) + sig, build)
+        return self._prog(("gl", row, conv) + sig, build)
 
     # -- dispatch / completion ---------------------------------------------
 
@@ -457,30 +503,56 @@ class _EmitEngine:
         emit_n = n_pend + n_new - (self.GLA if keep_la else 0)
         return emit_n * self.hop + (self.xfade if n_ctx else 0)
 
-    def dispatch_gl(self, gl_sig, idx_np, lin_new, row=False):
-        """ONE vocoder launch for a group sharing `gl_sig` (full slot
-        width; `idx_np` only builds the membership mask); chains the
-        slot-batched state arrays. Returns None (absorbed into the
+    def dispatch_gl(self, gl_sig, idx_np, lin_new=None, row=False,
+                    conv=None, d=None):
+        """ONE launch for a group sharing `gl_sig` (full slot width;
+        `idx_np` only builds the membership mask); chains the
+        slot-batched state arrays. With `conv` the group's converter
+        window is computed inside the same program (in-step emissions
+        pass conv instead of lin_new); `d` (only with conv) makes this
+        launch additionally return the chunk's done flags packed with
+        the merged raw accumulator — the step's single fetch payload.
+
+        Returns (emitted, packed): emitted is None (absorbed into the
         lookahead), the string "buf" (raw merged into the step
         accumulator self.raw_buf — the normal in-step case), or the
         device raw samples directly: the member slot's (m,) row when
         row=True (the retire path), else the full-width array (in-step
-        emissions wider than m_max — shouldn't happen by construction)."""
+        emissions wider than m_max — shouldn't happen by construction).
+        packed is the done+raw device array when `d` was given and the
+        emission merged into the accumulator, else None."""
         n_ctx, n_pend, n_new, keep_la = gl_sig
         frames_n = n_pend + n_new
+        mask = self._mask(idx_np)
         if keep_la and frames_n <= self.GLA:       # absorb, no GL
-            self.pend = self._absorb_prog(n_pend, n_new)(
-                self.pend, self._mask(idx_np), lin_new)
-            return None
-        raw, self.lin_tail, self.prev_re, self.prev_im, self.pend = \
-            self._gl_prog(gl_sig, row)(
-                self.raw_buf, self.lin_tail, self.prev_re, self.prev_im,
-                self.pend, self._mask(idx_np), lin_new, self.ap.power,
-                self.ap._dft)
+            prog = self._absorb_prog(n_pend, n_new, conv)
+            if conv is None:
+                self.pend = prog(self.pend, mask, lin_new)
+            else:
+                self.pend = prog(self.params, self.cfg, self.pend, mask,
+                                 self.hist, self.spk)
+            return None, None
+        assert d is None or (conv is not None and not row)
+        prog = self._gl_prog(gl_sig, row, conv)
+        if conv is None:
+            out = prog(self.raw_buf, self.lin_tail, self.prev_re,
+                       self.prev_im, self.pend, mask, lin_new,
+                       self.ap.power, self.ap._dft)
+        else:
+            out = prog(self.params, self.cfg, self.raw_buf, self.lin_tail,
+                       self.prev_re, self.prev_im, self.pend, mask,
+                       self.hist, self.spk, self.ap.power, self.ap._dft, d)
+        if conv is not None and not row:     # packed done+raw variant
+            raw = out[0]
+            packed = out[1] if d is not None else None
+            self.lin_tail, self.prev_re, self.prev_im, self.pend = out[2:]
+        else:
+            raw, packed = out[0], None
+            self.lin_tail, self.prev_re, self.prev_im, self.pend = out[1:]
         if not row and self.raw_width(gl_sig) <= self.m_max:
             self.raw_buf = raw
-            return "buf"
-        return raw
+            return "buf", packed
+        return raw, packed
 
     def complete_group(self, idx_np, raw_dev, had_tail):
         """Fetch one group's device raw and run the host half."""
@@ -610,6 +682,9 @@ class ContinuousBatcher:
         self._carry = None           # (prev, la, bufs)
         # per-slot attention context scale, frozen at admission
         self._ctx_scale = jnp.ones((n_slots,), jnp.float32)
+        # per-slot local decode positions, device-resident (reset by the
+        # admission scatter, advanced inside the fused decode program)
+        self._local = jnp.zeros((n_slots,), jnp.int32)
         # cumulative per-phase wall time inside step(), for attributing
         # the serving-vs-synchronized gap (read via timing())
         self._phase_s = {"admit": 0.0, "decode_dispatch": 0.0,
@@ -755,10 +830,11 @@ class ContinuousBatcher:
         scale_val = jnp.float32(tk_req * math.sqrt(1.0 / tk_req))
         b = jnp.int32(slot)
         spk_val = jnp.int32(0 if speaker_id is None else speaker_id)
-        self._arrays, self._carry, self._ctx_scale, self.emit.spk = \
-            _admit_scatter(self._arrays, self._carry, self._ctx_scale,
-                           self.emit.spk, b, kv_row, mask_row, wq_row,
-                           sp_row, scale_val, spk_val)
+        (self._arrays, self._carry, self._ctx_scale, self.emit.spk,
+         self._local) = _admit_scatter(
+            self._arrays, self._carry, self._ctx_scale, self.emit.spk,
+            self._local, b, kv_row, mask_row, wq_row, sp_row, scale_val,
+            spk_val)
         self.emit.reset_slot(slot)
         self._slots[slot] = _Slot(out_q)
 
@@ -804,40 +880,48 @@ class ContinuousBatcher:
             slot.out_q.put(("audio", audio_row))
             slot.emitted += audio_row.shape[0]
 
-    def _emit_step(self, active, pin):
-        """Normal per-step emission for all active slots: history roll,
-        grouped converter, grouped GL. Returns the groups' host audio
-        keyed by slot, dispatched before any done-flag fetch so the
-        device work overlaps the (B, chunk) host sync."""
-        self.emit.roll_hist(pin)
-        # group by converter signature (computed BEFORE updating M/e_m)
+    def _emit_step(self, active, d):
+        """Normal per-step emission for all active slots: ONE fused
+        converter+vocoder program per (converter window, GL phase)
+        signature pair — the converter is recomputed full-width inside
+        each phase group's program instead of launched separately, and
+        the chunk's done flags `d` ride the LAST buffered group's
+        program so the step's single fetch carries done+raw together
+        (the step is dispatch-bound: ~12 ms serial host cost per launch
+        through the dev tunnel, cb_gap_probe). Returns (jobs, packed);
+        packed is None when no group merged into the accumulator."""
+        # group by converter signature (computed BEFORE updating M/e_m),
+        # then split by GL signature (slots can be at different vocoder
+        # phases even with equal converter windows)
         conv_groups = {}
         for b in active:
             slot = self._slots[b]
             slot.M += self.chunk * self.r
             sig = self.emit.conv_sig(slot)
             conv_groups.setdefault(sig, []).append(b)
-        jobs = []
-        n_gl = 0
+        dispatches = []            # (conv_sig, gsig, n_new, slots_np)
         for sig, idx in conv_groups.items():
-            # full-width launch: program identity is the signature alone
-            lin = self.emit._conv_prog(sig)(
-                self.params, self.cfg, self.emit.hist, self.emit.spk)
             n_new = (sig[2] - sig[1]) * self.emit.up
-            # split the conv group by GL signature (slots can be at
-            # different vocoder phases even with equal converter windows)
             gl_groups = {}
             for b in idx:
                 gsig = self._gl_sig(self._slots[b], n_new, True)
                 gl_groups.setdefault(gsig, []).append(b)
             for gsig, slots in gl_groups.items():
-                slots_np = np.asarray(slots, np.int32)
-                had_tail = gsig[0] > 0
-                raw = self.emit.dispatch_gl(gsig, slots_np, lin)
-                n_gl += 1
-                jobs.append((slots_np, raw, had_tail, gsig, n_new))
+                dispatches.append((sig, gsig, n_new,
+                                   np.asarray(slots, np.int32)))
+        # every fused program packs the done flags with its merged raw
+        # accumulator (unconditional, so program identity stays signature-
+        # only); the host keeps the LAST buffered group's packed output —
+        # its accumulator has every group's merge
+        jobs, packed, n_gl = [], None, 0
+        for sig, gsig, n_new, slots_np in dispatches:
+            raw, pk = self.emit.dispatch_gl(gsig, slots_np, conv=sig, d=d)
+            if isinstance(raw, str) and pk is not None:
+                packed = pk
+            n_gl += 1
+            jobs.append((slots_np, raw, gsig[0] > 0, gsig, n_new))
         self._last_emit_counts = (len(conv_groups), n_gl)
-        return jobs
+        return jobs, packed
 
     def _complete_jobs(self, jobs, raw_host):
         """Complete the step's emission groups from the already-fetched
@@ -878,18 +962,16 @@ class ContinuousBatcher:
         emits = []                        # (gsig, (m,) device raw)
         if slot.M > slot.e_m:
             # final converter emission [e_m, M) — window per the same
-            # formula with emit_to = M
+            # formula with emit_to = M, converter fused into the GL launch
             CB = streaming.CONV_BUCKET
             W = slot.M - max(0, slot.e_m - self.emit.ctx_l)
             Wb = min(slot.M, -(-W // CB) * CB)
             ws = slot.M - Wb
             sig = (Wb, slot.e_m - ws, slot.M - ws)
-            lin_last = self.emit._conv_prog(sig)(
-                self.params, self.cfg, self.emit.hist, self.emit.spk)
             n_new = (sig[2] - sig[1]) * self.emit.up
             # vocoder push (keeps the lookahead back)...
             gsig = self._gl_sig(slot, n_new, True)
-            raw = self.emit.dispatch_gl(gsig, idx1, lin_last, row=True)
+            raw, _ = self.emit.dispatch_gl(gsig, idx1, row=True, conv=sig)
             self._apply_gl_result(slot, n_new, True)
             if raw is not None:
                 emits.append((gsig, raw))
@@ -897,7 +979,7 @@ class ContinuousBatcher:
         # ...then flush it (vocode [ctx | pend], emit everything)
         if slot.n_pend:
             gsig = self._gl_sig(slot, 0, False)
-            raw = self.emit.dispatch_gl(gsig, idx1, None, row=True)
+            raw, _ = self.emit.dispatch_gl(gsig, idx1, None, row=True)
             self._apply_gl_result(slot, 0, False)
             emits.append((gsig, raw))
         # one packed fetch for however many flush emissions there were
@@ -936,34 +1018,29 @@ class ContinuousBatcher:
 
             kv, mask, wq, sp = self._arrays
             prev, la, bufs = self._carry
-            local = np.zeros((self.n_slots,), np.int32)
-            for b in active:
-                local[b] = self._slots[b].local_steps
-            (o, a, d, s), self._carry = _slot_chunk_prog(
+            # ONE fused launch: decode chunk + history roll + local-step
+            # advance (the per-slot local positions live on device and
+            # are reset by the admission scatter — no per-step upload)
+            d, self.emit.hist, self._local, self._carry = _slot_chunk_prog(
                 self.params["decoder"], self.cfg.decoder, kv, mask, wq, sp,
-                self._ctx_scale, self.fpe_table, jnp.asarray(local),
-                prev, la, bufs, steps=self.chunk, fpe_raw=self.fpe_raw,
-                interpret=self.interpret)
+                self._ctx_scale, self.fpe_table, self._local,
+                prev, la, bufs, self.emit.hist, steps=self.chunk,
+                fpe_raw=self.fpe_raw, interpret=self.interpret,
+                use_state=self.cfg.use_decoder_state_for_postnet_input)
             t2 = time.perf_counter()
             self._phase_s["decode_dispatch"] += t2 - t1
 
             # grouped emission, dispatched before the done fetch so the
             # (S, chunk) host sync overlaps the converter + GL device time
-            S = self.n_slots
-            if self.cfg.use_decoder_state_for_postnet_input:
-                pin = s.reshape(S, self.chunk * self.r, -1)
-            else:
-                pin = o.reshape(S, self.chunk * self.r, -1)
-            jobs = self._emit_step(active, pin)
+            jobs, packed = self._emit_step(active, d)
             t3 = time.perf_counter()
             self._phase_s["emit_dispatch"] += t3 - t2
 
-            # ONE device sync per step: the done flags ride in the same
-            # transfer as the raw-sample accumulator (a second blocking
-            # round trip measured ~20% of the step budget on its own)
+            # ONE device sync per step: the done flags rode in the same
+            # program and transfer as the raw-sample accumulator (a second
+            # blocking round trip measured ~20% of the step budget alone)
             raw_host = None
-            if any(isinstance(r, str) for _, r, _, _, _ in jobs):
-                packed = _pack_done_raw(d, self.emit.raw_buf)
+            if packed is not None:
                 packed = np.asarray(packed)            # (S, chunk+m) sync
                 d_host = packed[:, :self.chunk]
                 raw_host = packed[:, self.chunk:]

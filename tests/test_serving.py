@@ -421,33 +421,32 @@ def test_long_text_grows_bucket_and_matches():
 
 
 def test_steady_state_grouped_program_launches():
-    """The round-4 engine contract: slots at the same emission phase share
-    ONE converter launch and ONE vocoder launch per step() — post-decode
-    device programs must NOT scale with the number of active slots (the
-    round-3 bottleneck was 2 batch-1 launches per slot per step)."""
+    """The round-5 engine contract: a steady-state step() is exactly TWO
+    device programs — the fused decode (chunk + history roll + local
+    positions) and ONE fused converter+vocoder launch shared by every
+    slot at the same emission phase — post-decode device programs must
+    NOT scale with the number of active slots, and the converter must
+    not be a separate launch (the step is dispatch-bound through the
+    dev tunnel; round 3 ran 2 + 2*n_slots launches, round 4 ran 4-5)."""
     cfg, params, ap = _setup()
     CHUNK, MAX, PAD, CTX = 8, 24, 40, 8
     batcher = serving.ContinuousBatcher(
         params, cfg, ap, en, n_slots=4, text_pad=PAD, chunk=CHUNK,
         max_decoder_steps=MAX, gl_context=CTX)
 
-    counts = {"conv": 0, "gl": 0}
-    orig_conv, orig_gl = batcher.emit._conv_prog, batcher.emit.dispatch_gl
-
-    def conv_counting(sig):
-        fn = orig_conv(sig)
-
-        def wrapped(*a, **kw):
-            counts["conv"] += 1
-            return fn(*a, **kw)
-        return wrapped
+    counts = {"emit": 0}
+    orig_gl = batcher.emit.dispatch_gl
 
     def gl_counting(*a, **kw):
-        counts["gl"] += 1
+        counts["emit"] += 1
+        # in-step dispatches carry the fused converter signature — the
+        # engine must never fall back to a separate converter program
+        assert kw.get("conv") is not None or kw.get("row") or a[3:]
         return orig_gl(*a, **kw)
 
-    batcher.emit._conv_prog = conv_counting
     batcher.emit.dispatch_gl = gl_counting
+    # the separate converter program is gone from the engine entirely
+    assert not hasattr(batcher.emit, "_conv_prog")
 
     # four slots admitted together: identical emission phase throughout
     queues = [batcher.submit(t) for t in
@@ -460,9 +459,8 @@ def test_steady_state_grouped_program_launches():
         assert steps < 50
         if n == 4 and batcher.active_slots() == 4:
             # pure steady-state step (no retirement flushes): exactly one
-            # grouped converter launch and at most one vocoder launch
-            assert counts["conv"] - before["conv"] == 1, counts
-            assert counts["gl"] - before["gl"] <= 1, counts
+            # fused converter+vocoder dispatch for the whole slot batch
+            assert counts["emit"] - before["emit"] == 1, counts
     while batcher.step():
         steps += 1
         assert steps < 80

@@ -89,9 +89,10 @@ def analyze(tag, log, wall, results, sr):
         print("%6d %6d %10.1f %10.2f %10.2f %8.2f"
               % (k, len(sel), 1e3 * sel[:, 0].mean(), sel[:, 4].mean(),
                  sel[:, 2].mean(), sel[:, 5].mean()))
-    # marginal per-launch cost: wall ~= a + b * (1 decode + 1 roll
-    # + n_conv + n_gl + retire flushes)
-    n_launch = 2 + steps[:, 3] + steps[:, 4] + 2 * steps[:, 5]
+    # marginal per-launch cost: wall ~= a + b * (1 fused decode+roll
+    # + n fused conv+GL dispatches + ~3 per retire: push, flush, packed
+    # fetch)
+    n_launch = 1 + steps[:, 4] + 3 * steps[:, 5]
     A = np.stack([np.ones(len(steps)), n_launch], axis=1)
     coef, *_ = np.linalg.lstsq(A, steps[:, 0], rcond=None)
     print("fit: wall ms ~= %.2f + %.2f * n_launches  (r=%.3f)"
