@@ -75,6 +75,18 @@ from . import streaming
 
 
 @jax.jit
+def _restore_rows(cur, snap, b):
+    """Rewind slot `b`'s emission-state rows to the step-start snapshot
+    (history, GL tails, retrieved spectrum, lookahead). The pipelined
+    done latch lands one chunk late, so a retiring slot has one extra
+    chunk merged into its rows; snapshots are free (jax arrays are
+    immutable — the snapshot is a reference), and the restore makes the
+    retire flush bit-identical to an unpipelined stream's. The slot
+    index is a traced scalar: one compile covers every slot."""
+    return tuple(c.at[b].set(s[b]) for c, s in zip(cur, snap))
+
+
+@jax.jit
 def _admit_scatter(arrays, carry, ctx_scale, spk, local, b, kv_row,
                    mask_row, wq_row, sp_row, scale_val, spk_val):
     """ONE program for every per-slot admission write: scatter the new
@@ -170,7 +182,7 @@ def _slot_chunk_prog(params, cfg, projected_kv, mask, wq, speaker_bias,
 
 class _Slot:
     __slots__ = ("out_q", "local_steps", "done_rows", "latched", "emitted",
-                 "n_total", "M", "e_m", "n_ctx", "n_pend")
+                 "n_total", "prev_phase", "M", "e_m", "n_ctx", "n_pend")
 
     def __init__(self, out_q):
         self.out_q = out_q
@@ -179,6 +191,9 @@ class _Slot:
         self.latched = False
         self.emitted = 0          # samples delivered so far
         self.n_total = None       # decoded-length sample cap once latched
+        self.prev_phase = None    # (M, e_m, n_ctx, n_pend) before the
+        # latest dispatch — the retire path rewinds to it when the
+        # pipelined done latch lands one chunk late
         # post-decode emission phase (mirrors streaming.StreamEmitter +
         # StreamingVocoder, but the state arrays are slot-batched)
         self.M = 0                # postnet-input frames accumulated
@@ -691,6 +706,12 @@ class ContinuousBatcher:
                          "emit_dispatch": 0.0, "done_fetch": 0.0,
                          "complete": 0.0, "retire": 0.0}
         self._steps_run = 0
+        # software pipeline (depth 1): the in-flight step awaiting its
+        # device->host harvest, and the step-start emission-state
+        # snapshot the retire path rewinds to
+        self._pending = None
+        self._emit_snap = None
+        self._last_retired = 0
         # optional per-step log for gap attribution (tools/cb_gap_probe.py):
         # (wall_s, n_active, n_admitted, n_conv_groups, n_gl_launches,
         #  n_retired) per step() when step_log is a list
@@ -896,6 +917,9 @@ class ContinuousBatcher:
         conv_groups = {}
         for b in active:
             slot = self._slots[b]
+            # pre-dispatch phase snapshot: the retire path rewinds to it
+            # when the pipelined latch discovers this chunk overshot done
+            slot.prev_phase = (slot.M, slot.e_m, slot.n_ctx, slot.n_pend)
             slot.M += self.chunk * self.r
             sig = self.emit.conv_sig(slot)
             conv_groups.setdefault(sig, []).append(b)
@@ -919,33 +943,51 @@ class ContinuousBatcher:
             if isinstance(raw, str) and pk is not None:
                 packed = pk
             n_gl += 1
-            jobs.append((slots_np, raw, gsig[0] > 0, gsig, n_new))
+            jobs.append((slots_np, [self._slots[b] for b in slots_np],
+                         raw, gsig[0] > 0, gsig, n_new))
+            # per-slot emission phase advances at DISPATCH time (it is a
+            # pure function of the signatures, not of device results), so
+            # the NEXT step's signatures can be computed before this
+            # step's results are fetched — the pipelined step depends on
+            # it (audio delivery alone waits for the fetch)
+            for b in slots_np:
+                slot = self._slots[b]
+                self._apply_gl_result(slot, n_new, True)
+                slot.e_m = slot.M - self.emit.ctx_r
         self._last_emit_counts = (len(conv_groups), n_gl)
         return jobs, packed
 
     def _complete_jobs(self, jobs, raw_host):
-        """Complete the step's emission groups from the already-fetched
-        step raw accumulator (ONE fetch per step, packed with the done
-        flags — step() fetched it): crossfade + IIR on host, queue
-        per-slot audio, update per-slot emission phase."""
-        for slots_np, raw, had_tail, gsig, n_new in jobs:
+        """Deliver one step's emission groups from the already-fetched
+        step raw accumulator: crossfade + IIR on host, queue per-slot
+        audio. Emission-phase bookkeeping happened at dispatch time
+        (_emit_step); this is the fetch-dependent half only, run one
+        step later by the pipelined step().
+
+        Rows whose slot has since retired (or been re-admitted) are
+        DROPPED before the host half runs: a retiring slot's in-flight
+        extra chunk was rewound out of its device state and re-emitted
+        exactly by the retire flush, so delivering it would duplicate
+        samples — and its crossfade tail / IIR state must stay untouched
+        for the slot's next occupant. Identity (`self._slots[b] is
+        slot`) is the drop test, so a freshly admitted occupant of the
+        same index is immune to its predecessor's in-flight rows."""
+        for slots_np, slot_objs, raw, had_tail, gsig, n_new in jobs:
             if raw is None:                  # absorbed into lookahead
-                for b in slots_np:
-                    slot = self._slots[b]
-                    self._apply_gl_result(slot, n_new, True)
-                    slot.e_m = slot.M - self.emit.ctx_r
                 continue
+            keep = [i for i, (b, s) in enumerate(zip(slots_np, slot_objs))
+                    if self._slots[b] is s]
+            if not keep:
+                continue
+            idx = slots_np[keep]
             if isinstance(raw, str):         # merged into the accumulator
                 m_g = self.emit.raw_width(gsig)
-                rows = raw_host[slots_np][:, self.emit.m_max - m_g:]
-                audio = self.emit.complete_rows(slots_np, rows, had_tail)
+                rows = raw_host[idx][:, self.emit.m_max - m_g:]
+                audio = self.emit.complete_rows(idx, rows, had_tail)
             else:
-                audio = self.emit.complete_group(slots_np, raw, had_tail)
-            for i, b in enumerate(slots_np):
-                slot = self._slots[b]
-                self._apply_gl_result(slot, n_new, True)
-                slot.e_m = slot.M - self.emit.ctx_r
-                self._put_audio(slot, audio[i])
+                audio = self.emit.complete_group(idx, raw, had_tail)
+            for i, b in enumerate(idx):
+                self._put_audio(self._slots[b], audio[i])
 
     def _finish_slot(self, b, n_dec):
         """Retire slot b: emit the held-back converter lookahead
@@ -994,9 +1036,28 @@ class ContinuousBatcher:
         self._slots[b] = None
 
     def step(self):
-        """Admit pending requests, decode one chunk for every slot, emit
-        per-slot audio (grouped programs). Returns the number of active
-        slots BEFORE retirement (0 = nothing to do)."""
+        """Admit pending requests, dispatch one decode chunk + emission
+        for every active slot, then process the PREVIOUS step's results
+        (software pipelining, depth 1): the blocking device->host fetch
+        of step N-1's done flags + raw samples happens AFTER step N's
+        programs are dispatched, so the ~28 ms tunnel round trip
+        overlaps this step's dispatches and device work instead of
+        serializing with them (measured: the fetch was the single
+        largest term of the dispatch-bound step, cb_gap_probe).
+
+        Pipeline consequences, all bounded by one chunk:
+          * a slot's done latch is detected one step late, so it decodes
+            one extra (wasted) chunk; the retire path REWINDS its
+            emission-state rows to the step-start snapshot and its phase
+            counters to prev_phase, flushes exactly like an unpipelined
+            stream (equality vs tts_stream is preserved bit-for-bit at
+            the window level), and the in-flight extra emission is
+            dropped at delivery by _complete_jobs' slot-identity check;
+          * first audio arrives one step later than the unpipelined
+            engine (TTFA +~1 step wall) — the price of hiding the fetch.
+
+        Returns the number of slots dispatched this call, or (when no
+        slot is active) 1 while drain work remains, 0 when idle."""
         with self._lock:
             t0 = time.perf_counter()
             n_admitted = 0
@@ -1011,11 +1072,20 @@ class ContinuousBatcher:
             active = [b for b in range(self.n_slots)
                       if self._slots[b] is not None]
             if not active:
-                return 0
+                # nothing to dispatch: drain the in-flight step (if any)
+                # and the retirements it produces
+                worked = self._pending is not None
+                self._process_pending(dispatched=False)
+                return 1 if worked else 0
             t1 = time.perf_counter()
             self._phase_s["admit"] += t1 - t0
             self._steps_run += 1
 
+            # step-start emission-state snapshot (reference-cheap): the
+            # retire path rewinds a late-latched slot's rows to it
+            self._emit_snap = (self.emit.hist, self.emit.lin_tail,
+                               self.emit.prev_re, self.emit.prev_im,
+                               self.emit.pend)
             kv, mask, wq, sp = self._arrays
             prev, la, bufs = self._carry
             # ONE fused launch: decode chunk + history roll + local-step
@@ -1030,64 +1100,104 @@ class ContinuousBatcher:
             t2 = time.perf_counter()
             self._phase_s["decode_dispatch"] += t2 - t1
 
-            # grouped emission, dispatched before the done fetch so the
-            # (S, chunk) host sync overlaps the converter + GL device time
+            # grouped emission (phase bookkeeping applied at dispatch)
             jobs, packed = self._emit_step(active, d)
             t3 = time.perf_counter()
             self._phase_s["emit_dispatch"] += t3 - t2
 
-            # ONE device sync per step: the done flags rode in the same
-            # program and transfer as the raw-sample accumulator (a second
-            # blocking round trip measured ~20% of the step budget alone)
-            raw_host = None
-            if packed is not None:
-                packed = np.asarray(packed)            # (S, chunk+m) sync
-                d_host = packed[:, :self.chunk]
-                raw_host = packed[:, self.chunk:]
-            else:
-                d_host = np.asarray(d)                 # (S, chunk) sync
-            t4 = time.perf_counter()
-            self._phase_s["done_fetch"] += t4 - t3
-            retires = []
+            # stash this step's in-flight results and start their host
+            # copy early; the blocking harvest happens NEXT step
+            fetch = packed if packed is not None else d
+            try:
+                fetch.copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                pass                          # backend without async copy
+            entries = [(b, self._slots[b], self._slots[b].local_steps)
+                       for b in active]
             for b in active:
-                slot = self._slots[b]
-                gstep = slot.local_steps + np.arange(1, self.chunk + 1)
-                row = (d_host[b] > 0.5) & (gstep > self.min_steps)
-                slot.done_rows.append(row)
-                slot.latched |= bool(row.any())
-                slot.local_steps += self.chunk
-                if slot.latched or slot.local_steps >= self.max_decoder_steps:
-                    done_all = np.concatenate(slot.done_rows)
-                    n_dec = (int(done_all.argmax()) + 1 if slot.latched
-                             else slot.local_steps)
-                    # the chunk-granular decode can overshoot both the
-                    # done latch and max_decoder_steps by < one chunk;
-                    # the reported length and every sample streamed from
-                    # here are trimmed to the capped decoded length
-                    n_dec = min(n_dec, self.max_decoder_steps)
-                    slot.n_total = streaming.decoded_samples(
-                        self.cfg, self.ap, n_dec)
-                    retires.append((b, n_dec))
-
-            t5 = time.perf_counter()
-            self._phase_s["done_fetch"] += t5 - t4   # + done-row latching
-            self._complete_jobs(jobs, raw_host)
-            t6 = time.perf_counter()
-            self._phase_s["complete"] += t6 - t5
-            for b, n_dec in retires:
-                self._finish_slot(b, n_dec)
-            self._phase_s["retire"] += time.perf_counter() - t6
+                self._slots[b].local_steps += self.chunk
+            prev_pending = self._pending
+            self._pending = {"jobs": jobs, "fetch": fetch,
+                             "has_raw": packed is not None,
+                             "entries": entries}
+            self._process_pending(dispatched=True, pending=prev_pending)
             if self.step_log is not None:
                 self.step_log.append(
                     (time.perf_counter() - t0, len(active), n_admitted,
                      self._last_emit_counts[0], self._last_emit_counts[1],
-                     len(retires)))
+                     self._last_retired))
             return len(active)
+
+    def _process_pending(self, dispatched, pending="take"):
+        """Harvest one in-flight step: fetch its done+raw payload, latch
+        done flags, deliver its audio (latch-first so decoded-length
+        trims apply to this chunk), then retire done slots immediately.
+
+        `dispatched` says whether the caller stashed a NEW in-flight
+        step before this harvest. If it did, a newly latched slot has
+        one overshoot chunk in flight: its emission-state rows are
+        rewound to the step-start snapshot (device) and its phase
+        counters to prev_phase (host) before the flush, so the flush
+        emits exactly what an unpipelined stream would — the in-flight
+        extra chunk is then dropped at delivery by _complete_jobs'
+        identity check. On a drain call (no new dispatch) nothing
+        overshot, so no rewind."""
+        if pending == "take":
+            pending, self._pending = self._pending, None
+        self._last_retired = 0
+        if pending is None:
+            return
+        t4 = time.perf_counter()
+        retires = []
+        payload = np.asarray(pending["fetch"])         # the ONE sync
+        if pending["has_raw"]:
+            d_host = payload[:, :self.chunk]
+            raw_host = payload[:, self.chunk:]
+        else:
+            d_host, raw_host = payload, None
+        for b, slot, base in pending["entries"]:
+            if self._slots[b] is not slot:             # already retired
+                continue
+            gstep = base + np.arange(1, self.chunk + 1)
+            row = (d_host[b] > 0.5) & (gstep > self.min_steps)
+            slot.done_rows.append(row)
+            slot.latched |= bool(row.any())
+            processed = base + self.chunk
+            if slot.latched or processed >= self.max_decoder_steps:
+                done_all = np.concatenate(slot.done_rows)
+                n_dec = (int(done_all.argmax()) + 1 if slot.latched
+                         else processed)
+                # the chunk-granular decode can overshoot the done latch
+                # and max_decoder_steps by < one chunk; the reported
+                # length and every sample streamed from here are trimmed
+                # to the capped decoded length
+                n_dec = min(n_dec, self.max_decoder_steps)
+                slot.n_total = streaming.decoded_samples(
+                    self.cfg, self.ap, n_dec)
+                retires.append((b, slot, n_dec))
+        t5 = time.perf_counter()
+        self._phase_s["done_fetch"] += t5 - t4
+        self._complete_jobs(pending["jobs"], raw_host)
+        t6 = time.perf_counter()
+        self._phase_s["complete"] += t6 - t5
+        for b, slot, n_dec in retires:
+            if dispatched:
+                # rewind the overshoot chunk dispatched this step
+                (self.emit.hist, self.emit.lin_tail, self.emit.prev_re,
+                 self.emit.prev_im, self.emit.pend) = _restore_rows(
+                    (self.emit.hist, self.emit.lin_tail, self.emit.prev_re,
+                     self.emit.prev_im, self.emit.pend),
+                    self._emit_snap, jnp.int32(b))
+                slot.M, slot.e_m, slot.n_ctx, slot.n_pend = slot.prev_phase
+            self._finish_slot(b, n_dec)
+            self._last_retired += 1
+        self._phase_s["retire"] += time.perf_counter() - t6
 
     def _fail_all(self, exc):
         """Deliver an engine failure to every in-flight and waiting
         request, then reset the slots so the worker can keep serving."""
         with self._lock:
+            self._pending = None
             for b in range(self.n_slots):
                 if self._slots[b] is not None:
                     self._slots[b].out_q.put(("error", exc))

@@ -487,7 +487,7 @@ def test_step_accumulator_single_fetch_under_staggered_phases():
     orig_cj = batcher._complete_jobs
 
     def counting_cj(jobs, raw_host):
-        emitting = [r for _, r, _, _, _ in jobs if r is not None]
+        emitting = [r for _, _, r, _, _, _ in jobs if r is not None]
         stats["max_groups"] = max(stats["max_groups"], len(emitting))
         stats["dev_fetch_groups"] += sum(
             1 for r in emitting if not isinstance(r, str))
