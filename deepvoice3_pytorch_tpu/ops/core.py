@@ -240,6 +240,17 @@ def conv1d_apply(p, x, *, dilation=1, padding="same", causal=False,
     else:
         pad = padding
     mode = _conv1d_mode.get()
+    if mode == "pallas":
+        # Pallas tap-accumulating kernel (ops/conv_pallas.py): one HBM
+        # read of x and one write of y instead of tapsum's per-tap GEMM
+        # round-trips. Falls back to tapsum when the call site is outside
+        # the kernel contract (returns None: length-changing padding or
+        # no VMEM-feasible batch block).
+        from . import conv_pallas
+        y = conv_pallas.conv1d_pallas(x, w, p["b"], pad, dilation)
+        if y is not None:
+            return y
+        mode = "tapsum"
     if mode != "xla":
         T = x.shape[1]
         xp = jnp.pad(x, ((0, 0), pad, (0, 0)))

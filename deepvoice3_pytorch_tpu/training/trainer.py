@@ -179,7 +179,8 @@ def compute_losses(outputs, batch, lc: LossConfig):
 
 
 def make_train_step(cfg: TTSModelConfig, lc: LossConfig, optimizer, mask,
-                    compute_dtype=jnp.float32, seq_sharding=None):
+                    compute_dtype=jnp.float32, seq_sharding=None,
+                    conv_mode=None):
     """Build the jitted train step. Call under a mesh with sharded batch for
     data parallelism; XLA inserts the gradient all-reduce.
 
@@ -198,8 +199,13 @@ def make_train_step(cfg: TTSModelConfig, lc: LossConfig, optimizer, mask,
     and GSPMD propagates the time sharding through the conv stacks (halo
     exchanges) and attention (time-sharded query rows). Numeric equivalence
     with the unsharded step is pinned by
-    tests/test_multichip.py::test_sp2_step_matches_single_device."""
+    tests/test_multichip.py::test_sp2_step_matches_single_device.
+
+    conv_mode overrides the conv lowering traced into the step (None =
+    ops.core.CONV1D_MODE_TRAIN, the measured train-step default)."""
     compute_dtype = jnp.dtype(compute_dtype)
+    if conv_mode is None:
+        conv_mode = core.CONV1D_MODE_TRAIN
 
     def _cast(tree):
         return jax.tree.map(
@@ -249,7 +255,7 @@ def make_train_step(cfg: TTSModelConfig, lc: LossConfig, optimizer, mask,
         # (+8-10 MFU), XLA's conv emitter wins forward-only synthesis.
         # The context manager runs at trace time, so any retrace of this
         # step re-selects the training mode (ops/core.py:conv_lowering).
-        with core.conv_lowering(core.CONV1D_MODE_TRAIN):
+        with core.conv_lowering(conv_mode):
             (_, metrics), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params, batch, rng)
         grads = jax.tree.map(lambda g, m: g * m, grads, mask)
