@@ -537,3 +537,36 @@ def test_latest_checkpoint(tmp_path):
                          train_seq2seq=True, train_postnet=False)
     latest = ckpt.latest_checkpoint(str(tmp_path))
     assert latest.endswith("checkpoint_step000000020.ckpt")
+
+
+def test_train_step_pallas_conv_mode_matches_tapsum():
+    """make_train_step(conv_mode='pallas') routes every kw>1 conv through
+    the Pallas tap-accumulating kernel (ops/conv_pallas.py) in forward
+    AND backward; one full step must reproduce tapsum's metrics and
+    updated params to the f32 reassociation class (the kernel sums taps
+    in f32 exactly like tapsum, so the tolerance is tight)."""
+    hp = _HP()
+    cfg = _tiny_cfg(dropout=0.0)
+    params = jx_builder.model_init(jax.random.PRNGKey(0), cfg)
+    lc = trainer.loss_config_from_hparams(hp)
+    opt = trainer.make_optimizer(hp, trainer.make_lr_fn(hp))
+    mask = trainer.trainable_mask(params, cfg)
+    batch = jax.tree.map(jnp.asarray, _tiny_batch())
+
+    results = {}
+    for mode in ("tapsum", "pallas"):
+        step_fn = trainer.make_train_step(cfg, lc, opt, mask,
+                                          conv_mode=mode)
+        state = trainer.init_train_state(jax.tree.map(jnp.array, params),
+                                         opt)
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
+        results[mode] = (float(metrics["loss"]),
+                         float(metrics["grad_norm"]), state.params)
+
+    np.testing.assert_allclose(results["pallas"][0], results["tapsum"][0],
+                               rtol=1e-6)
+    np.testing.assert_allclose(results["pallas"][1], results["tapsum"][1],
+                               rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(results["tapsum"][2]),
+                    jax.tree.leaves(results["pallas"][2])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5)
