@@ -524,13 +524,7 @@ def bench_serving_soak(params, cfg, hp, ap, n_slots=8, workers=8):
 
     import serve as serve_mod
     from deepvoice3_pytorch_tpu.frontend import en
-
-    def rss_mb():
-        with open("/proc/self/status") as f:
-            for line in f:
-                if line.startswith("VmRSS:"):
-                    return int(line.split()[1]) / 1024.0
-        return float("nan")
+    from deepvoice3_pytorch_tpu.utils.profiling import rss_mb
 
     n_req = int(os.environ.get("DV3_BENCH_SOAK_REQS", "200"))
     engine = serve_mod.TTSEngine(params, cfg, ap, en,

@@ -267,7 +267,7 @@ def _pconv_bwd(pad, dil, res, dy):
     wflip = jnp.flip(w, axis=0).transpose(0, 2, 1)       # (kw, N, C)
     dx = _launch_fwd(dy, wflip, None, (pad[1], pad[0]), dil)
     dw = _launch_wgrad(x, dy, pad, dil, kw)
-    if dx is None or dw is None:       # can't happen if fwd launched
+    if dx is None or dw is None:  # conv1d_pallas prechecks both layouts
         raise RuntimeError("pallas conv bwd lost VMEM feasibility")
     db = jnp.sum(dy.astype(jnp.float32), axis=(0, 1))
     return dx, dw.astype(w.dtype), db.astype(dy.dtype)
@@ -290,7 +290,13 @@ def conv1d_pallas(x, w, b, pad, dil):
         return None
     B, T, C = x.shape
     N = w.shape[2]
-    if _pick_bb(B, T, C, N, kw,
-                x.dtype.itemsize, x.dtype.itemsize) is None:
+    isz = x.dtype.itemsize
+    # Feasibility must hold for every launch the custom_vjp can make:
+    # forward (C -> N), dgrad (N -> C — the working sets differ when
+    # C != N), and wgrad (same block shapes as forward). Committing to
+    # the Pallas path on the forward check alone would raise mid-step
+    # in _pconv_bwd for C_in >> C_out shapes near the budget boundary.
+    if (_pick_bb(B, T, C, N, kw, isz, isz) is None
+            or _pick_bb(B, T, N, C, kw, isz, isz) is None):
         return None
     return _pconv(x, w, b, (pl_, pr_), dil)

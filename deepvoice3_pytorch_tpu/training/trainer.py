@@ -178,6 +178,16 @@ def compute_losses(outputs, batch, lc: LossConfig):
     return loss, metrics
 
 
+def resolve_conv_mode(conv_mode, seq_sharding):
+    """Conv lowering actually traced into the step (see make_train_step's
+    docstring for why pallas + sequence parallelism falls back)."""
+    if conv_mode is None:
+        conv_mode = core.CONV1D_MODE_TRAIN
+    if conv_mode == "pallas" and seq_sharding is not None:
+        conv_mode = "tapsum"
+    return conv_mode
+
+
 def make_train_step(cfg: TTSModelConfig, lc: LossConfig, optimizer, mask,
                     compute_dtype=jnp.float32, seq_sharding=None,
                     conv_mode=None):
@@ -202,10 +212,15 @@ def make_train_step(cfg: TTSModelConfig, lc: LossConfig, optimizer, mask,
     tests/test_multichip.py::test_sp2_step_matches_single_device.
 
     conv_mode overrides the conv lowering traced into the step (None =
-    ops.core.CONV1D_MODE_TRAIN, the measured train-step default)."""
+    ops.core.CONV1D_MODE_TRAIN, the measured train-step default).
+    'pallas' composes with data parallelism (batch-sharded inputs keep
+    whole rows per device) but NOT with sequence parallelism: GSPMD has
+    no partitioning rule for the kernel's time-dim halo, so a
+    time-sharded operand would be all-gathered (or fail to partition),
+    silently destroying the sp speedup — that combination falls back to
+    tapsum here."""
     compute_dtype = jnp.dtype(compute_dtype)
-    if conv_mode is None:
-        conv_mode = core.CONV1D_MODE_TRAIN
+    conv_mode = resolve_conv_mode(conv_mode, seq_sharding)
 
     def _cast(tree):
         return jax.tree.map(

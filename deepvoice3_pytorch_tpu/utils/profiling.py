@@ -14,6 +14,21 @@ import time
 import jax
 
 
+def rss_mb(default=float("nan")):
+    """Resident-set size of this process in MiB (Linux /proc).
+
+    Shared by the serving soak test and the soak bench row so the two
+    can't drift; returns `default` when VmRSS is unavailable (non-Linux)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    return default
+
+
 class StepTimer:
     """Rolling per-step timing; call tick() once per optimizer step."""
 

@@ -107,3 +107,20 @@ def test_batch_block_divisor_picking():
     assert conv_pallas._pick_bb(64, 512, 256, 512, 3, 2, 2) == 4
     assert conv_pallas._pick_bb(7, 512, 256, 512, 3, 2, 2) == 7
     assert conv_pallas._pick_bb(7, 4096, 256, 512, 3, 2, 2) is None
+
+
+def test_declines_when_only_backward_is_infeasible():
+    # The custom_vjp's dgrad launch swaps C and N, so its working set is
+    # larger than the forward's when C_in > C_out. conv1d_pallas must
+    # precheck BOTH layouts and decline up front — committing on the
+    # forward check alone would raise mid-train-step in _pconv_bwd
+    # (review finding, round 5: B=1, T=1500, C=1024, N=128, kw=3 f32 is
+    # forward-feasible but dgrad-infeasible at the default budget).
+    B, T, C, N, kw = 1, 1500, 1024, 128, 3
+    assert conv_pallas._pick_bb(B, T, C, N, kw, 4, 4) is not None
+    assert conv_pallas._pick_bb(B, T, N, C, kw, 4, 4) is None
+    rs = np.random.RandomState(5)
+    w = jnp.asarray(rs.randn(kw, C, N).astype(np.float32))
+    b = jnp.zeros((N,), jnp.float32)
+    x = jnp.asarray(rs.randn(B, T, C).astype(np.float32))
+    assert conv_pallas.conv1d_pallas(x, w, b, (kw - 1, 0), 1) is None

@@ -20,6 +20,7 @@ from deepvoice3_pytorch_tpu.frontend import en
 from deepvoice3_pytorch_tpu.dsp.audio import AudioProcessor
 from deepvoice3_pytorch_tpu.hparams import default_hparams
 from deepvoice3_pytorch_tpu.model_builder import build_model
+from deepvoice3_pytorch_tpu.utils.profiling import rss_mb
 
 TEXTS = [
     "the first soak sentence.",
@@ -30,11 +31,10 @@ TEXTS = [
 
 
 def _rss_mb():
-    with open("/proc/self/status") as f:
-        for line in f:
-            if line.startswith("VmRSS:"):
-                return int(line.split()[1]) / 1024.0
-    raise RuntimeError("no VmRSS")
+    v = rss_mb()
+    if v != v:  # NaN — the soak's growth assertion needs a real number
+        raise RuntimeError("no VmRSS")
+    return v
 
 
 @pytest.mark.slow
