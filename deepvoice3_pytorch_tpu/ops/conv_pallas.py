@@ -53,6 +53,19 @@ returns None when a call site falls outside the kernel's contract
 (output length != input length, or no batch block fits VMEM) and the
 caller falls back to tapsum — same graceful-fallback policy as
 dsp/gl_pallas.py.
+
+MEASURED RESULT (v5e, tools/conv_pallas_probe.py, 2026-08-20): the
+in-kernel tap sum is a structural NEGATIVE on the production step —
+full b64 bf16 train step 23.73 ms vs tapsum's 19.34 (-22.7%), and
+forward-only 8.10 vs 6.51 ms, so the loss is proportional across
+fwd/dgrad/wgrad rather than concentrated in one kernel. Reading: XLA
+never actually pays the priced per-tap round-trips — its fusion folds
+the shifted input loads into GEMM operand reads and keeps the running
+tap sum in registers/VMEM across consecutive dots — while Mosaic's
+per-tap `jnp.dot` sequence inside one kernel pipelines HBM prefetch
+worse than XLA's independently scheduled GEMMs. The kernel therefore
+stays OPT-IN (conv_mode="pallas"), kept as the recorded negative with
+its exactness tests; tapsum remains the measured train-step default.
 """
 
 import functools
